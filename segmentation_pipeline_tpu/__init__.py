@@ -1,0 +1,44 @@
+"""segmentation_pipeline_tpu — a TPU-native 3D medical-image segmentation
+framework (JAX/XLA/Pallas/pjit).
+
+Re-designed from scratch with the capability surface of
+efirdc/Segmentation-Pipeline (see SURVEY.md): declarative datasets,
+invertible preprocessing/augmentation, patch-based training, sliding-window
+inference, scheduled-evaluation training, ensembling/TTA, Dice-family
+metrics — with the compute path built for TPU (device meshes, fused XLA
+kernels, Pallas conv3d) rather than translated from torch.
+
+The flat facade mirrors ref segmentation_pipeline/__init__.py:1-26.
+"""
+from .core import (
+    Image,
+    LabelMap,
+    ScalarImage,
+    Subject,
+    collate_subjects,
+    read_nifti,
+    slice_volume,
+    write_nifti,
+)
+from .data import (
+    AnyFilter,
+    AttributeLoader,
+    ComposeFilters,
+    ComposeLoaders,
+    ForbidAttributes,
+    ImageLoader,
+    NegateFilter,
+    RandomFoldFilter,
+    RandomSelectFilter,
+    RequireAttributes,
+    StratifiedFilter,
+    SubjectFilter,
+    SubjectFolder,
+    SubjectLoader,
+    TensorLoader,
+    get_dataset_fingerprint,
+)
+from .transforms import *  # noqa: F401,F403
+from .utils import filter_kwargs, flatten_nested_dict, no_op, time_str_to_seconds
+
+__version__ = "0.1.0"

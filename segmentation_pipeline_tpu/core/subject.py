@@ -1,0 +1,322 @@
+"""Subject/Image data model.
+
+TPU-native replacement for the torchio ``Subject``/``ScalarImage``/``LabelMap``
+data model the reference builds on (used throughout
+/root/reference/segmentation_pipeline, e.g. data_processing/subject_folder.py:69,
+prediction.py:97).  An Image is a numpy array (C, W, H, D) + a (4, 4) affine +
+arbitrary metadata (e.g. ``label_values``); a Subject is a dict of images and
+attributes plus an applied-transform *history tape* that supports inversion
+(the reference relies on torchio's ``get_composed_history``/
+``apply_inverse_transform``, prediction.py:157-170).
+
+Everything here is host-side and framework-agnostic; device compute enters at
+the collate boundary (data/loader.py) and inside transforms' jax kernels.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .nifti import read_nifti, write_nifti
+
+
+class Image:
+    """A lazily-loaded 3D medical image: data (C, W, H, D) + affine + metadata."""
+
+    kind = "scalar"
+
+    def __init__(self, *paths, tensor=None, affine=None, uniform: bool = False, **metadata):
+        self.paths = [str(p) for p in paths]
+        self._data: Optional[np.ndarray] = None
+        self._affine: Optional[np.ndarray] = None
+        self.metadata: Dict[str, Any] = dict(metadata)
+        self.metadata.pop("uniform", None)
+
+        if tensor is not None:
+            tensor = np.asarray(tensor)
+            if tensor.ndim == 3:
+                tensor = tensor[None]
+            if tensor.ndim != 4:
+                raise ValueError(f"Image tensor must be (C, W, H, D); got {tensor.shape}")
+            self._data = tensor
+            self._affine = np.eye(4) if affine is None else np.asarray(affine, dtype=np.float64)
+        elif affine is not None:
+            self._affine = np.asarray(affine, dtype=np.float64)
+
+    # ---- loading -------------------------------------------------------
+    @property
+    def loaded(self) -> bool:
+        return self._data is not None
+
+    def load(self) -> "Image":
+        if self._data is None:
+            if not self.paths:
+                raise RuntimeError("Image has neither tensor data nor file paths")
+            arrays = []
+            affine = None
+            for p in self.paths:
+                arr, aff = read_nifti(p)
+                arrays.append(arr)
+                if affine is None:
+                    affine = aff
+            # multiple matched files concatenate on the channel axis
+            # (ref subject_loaders.py ImageLoader docstring)
+            self._data = arrays[0] if len(arrays) == 1 else np.concatenate(arrays, axis=0)
+            self._affine = affine
+            self._post_load()
+        return self
+
+    def _post_load(self):
+        pass
+
+    def unload(self):
+        if self.paths:
+            self._data = None
+
+    # ---- data access ---------------------------------------------------
+    @property
+    def data(self) -> np.ndarray:
+        if self._data is None:
+            self.load()
+        return self._data
+
+    @data.setter
+    def data(self, value):
+        value = np.asarray(value)
+        if value.ndim == 3:
+            value = value[None]
+        self._data = value
+
+    def set_data(self, value):
+        self.data = value
+
+    @property
+    def tensor(self) -> np.ndarray:
+        return self.data
+
+    @property
+    def affine(self) -> np.ndarray:
+        if self._affine is None:
+            self.load()
+        return self._affine
+
+    @affine.setter
+    def affine(self, value):
+        self._affine = np.asarray(value, dtype=np.float64)
+
+    @property
+    def shape(self):
+        return tuple(self.data.shape)
+
+    @property
+    def spatial_shape(self):
+        return tuple(self.data.shape[1:])
+
+    @property
+    def num_channels(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def spacing(self):
+        aff = self.affine
+        return tuple(float(s) for s in np.sqrt((aff[:3, :3] ** 2).sum(axis=0)))
+
+    # ---- metadata dict-style access ------------------------------------
+    def __getitem__(self, key):
+        if key == "data":
+            return self.data
+        if key == "affine":
+            return self.affine
+        return self.metadata[key]
+
+    def __setitem__(self, key, value):
+        if key == "data":
+            self.data = value
+        elif key == "affine":
+            self.affine = value
+        else:
+            self.metadata[key] = value
+
+    def __contains__(self, key):
+        return key in ("data", "affine") or key in self.metadata
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def items(self):
+        return self.metadata.items()
+
+    def keys(self):
+        return self.metadata.keys()
+
+    # ---- I/O -----------------------------------------------------------
+    def save(self, path):
+        write_nifti(path, self.data, self.affine)
+
+    def as_subclass(self, cls: type) -> "Image":
+        out = cls(*self.paths, **copy.deepcopy(self.metadata))
+        out._data = self._data
+        out._affine = self._affine
+        return out
+
+    def __copy__(self):
+        out = type(self)(*self.paths, **self.metadata)
+        out._data = self._data
+        out._affine = self._affine
+        return out
+
+    def __deepcopy__(self, memo):
+        out = type(self)(*self.paths, **copy.deepcopy(self.metadata, memo))
+        out._data = None if self._data is None else self._data.copy()
+        out._affine = None if self._affine is None else self._affine.copy()
+        return out
+
+    def __repr__(self):
+        shape = self.shape if self.loaded else "unloaded"
+        return f"{type(self).__name__}(shape={shape}, paths={self.paths})"
+
+
+class ScalarImage(Image):
+    kind = "scalar"
+
+    def _post_load(self):
+        if not np.issubdtype(self._data.dtype, np.floating):
+            self._data = self._data.astype(np.float32)
+
+
+class LabelMap(Image):
+    kind = "label"
+
+    def _post_load(self):
+        if not np.issubdtype(self._data.dtype, np.integer):
+            self._data = np.rint(self._data).astype(np.int32)
+
+
+class Subject(dict):
+    """A dict of images + attributes with an applied-transform history tape.
+
+    Mirrors torchio.Subject semantics used by the reference: dict access for
+    both images and attributes, ``add_image``, ``get_images_dict``,
+    ``get_composed_history``, ``apply_inverse_transform``.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.history: List = []  # list of TransformRecord
+
+    # dict's deepcopy does not carry custom attributes; do it explicitly
+    def __deepcopy__(self, memo):
+        out = Subject()
+        memo[id(self)] = out
+        for k, v in self.items():
+            out[copy.deepcopy(k, memo)] = copy.deepcopy(v, memo)
+        out.history = copy.deepcopy(self.history, memo)
+        return out
+
+    def __reduce__(self):
+        return (_rebuild_subject, (dict(self), self.history))
+
+    # ---- images --------------------------------------------------------
+    def get_images_dict(self, intensity_only: bool = False) -> Dict[str, Image]:
+        return {
+            k: v
+            for k, v in self.items()
+            if isinstance(v, Image) and (not intensity_only or v.kind == "scalar")
+        }
+
+    def get_first_image(self) -> Image:
+        for v in self.values():
+            if isinstance(v, Image):
+                return v
+        raise RuntimeError("Subject has no images")
+
+    def add_image(self, image: Image, image_name: str):
+        self[image_name] = image
+
+    def remove_image(self, image_name: str):
+        del self[image_name]
+
+    @property
+    def name(self):
+        return self.get("name")
+
+    @property
+    def spatial_shape(self):
+        return self.get_first_image().spatial_shape
+
+    def load(self):
+        for image in self.get_images_dict().values():
+            image.load()
+        return self
+
+    def check_consistent_spatial_shape(self):
+        shapes = {k: v.spatial_shape for k, v in self.get_images_dict().items()}
+        if len(set(shapes.values())) > 1:
+            raise RuntimeError(f"Inconsistent spatial shapes: {shapes}")
+
+    # ---- history tape --------------------------------------------------
+    def add_transform_record(self, record):
+        self.history.append(record)
+
+    def get_composed_history(self):
+        """Returns the list of applied-transform records, oldest first."""
+        return list(self.history)
+
+    def clear_history(self):
+        self.history = []
+
+    def apply_inverse_transform(self, warn: bool = True, image_interpolation=None) -> "Subject":
+        """Undo the full history tape (newest first), returning a new Subject
+        in the original space with an empty history."""
+        from ..transforms.base import invert_records
+
+        return invert_records(self, self.history, warn=warn)
+
+    def __repr__(self):
+        images = list(self.get_images_dict().keys())
+        return f"Subject(name={self.get('name')!r}, images={images})"
+
+
+def _rebuild_subject(data: dict, history: list) -> Subject:
+    out = Subject(data)
+    out.history = history
+    return out
+
+
+def collate_subjects(
+    subjects: Sequence[Subject], image_names: Sequence[str], device=None
+) -> Dict[str, "np.ndarray"]:
+    """Stack named images across subjects into batched device arrays.
+
+    TPU-native analog of ref utils/utils.py:75-85: produces jax arrays placed
+    on the default device, shape (N, C, W, H, D), float32 for scalar images
+    and int32 for label maps.
+    """
+    import jax.numpy as jnp
+
+    batch: Dict[str, Any] = {}
+    for name in image_names:
+        stacked = np.stack([np.asarray(s[name].data) for s in subjects], axis=0)
+        if np.issubdtype(stacked.dtype, np.integer):
+            stacked = stacked.astype(np.int32)
+        else:
+            stacked = stacked.astype(np.float32)
+        batch[name] = jnp.asarray(stacked)
+    return batch
+
+
+def slice_volume(data: np.ndarray, channel: int, plane: str, slice_id: int) -> np.ndarray:
+    """Extract a 2D slice from (C, W, H, D) data (ref utils/utils.py:64-72)."""
+    arr = np.asarray(data)
+    if plane in ("sagittal", "W", 0):
+        return arr[channel, slice_id, :, :]
+    if plane in ("coronal", "H", 1):
+        return arr[channel, :, slice_id, :]
+    if plane in ("axial", "D", 2):
+        return arr[channel, :, :, slice_id]
+    raise ValueError(f"Unknown plane {plane}")

@@ -1,0 +1,15 @@
+from .misc import (
+    as_list,
+    as_set,
+    auto_str,
+    filter_kwargs,
+    flatten_nested_dict,
+    is_sequence,
+    no_op,
+    prod,
+    random_folds,
+    time_str_to_seconds,
+    vargs_or_sequence,
+)
+
+__all__ = [k for k in dir() if not k.startswith("_")]

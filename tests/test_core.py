@@ -1,0 +1,93 @@
+"""Core data model + NIfTI codec tests."""
+import numpy as np
+import pytest
+
+from segmentation_pipeline_tpu.core.nifti import read_nifti, write_nifti
+from segmentation_pipeline_tpu.core.subject import LabelMap, ScalarImage, Subject
+
+
+class TestNifti:
+    @pytest.mark.parametrize("suffix", [".nii", ".nii.gz"])
+    @pytest.mark.parametrize("dtype", [np.float32, np.int16, np.uint8, np.float64])
+    def test_roundtrip(self, tmp_path, suffix, dtype):
+        rng = np.random.default_rng(0)
+        if np.issubdtype(dtype, np.integer):
+            data = rng.integers(0, 100, size=(1, 7, 6, 5)).astype(dtype)
+        else:
+            data = rng.normal(size=(1, 7, 6, 5)).astype(dtype)
+        affine = np.array([
+            [0.0, -1.2, 0.0, 10.0],
+            [1.5, 0.0, 0.0, -3.0],
+            [0.0, 0.0, 2.0, 5.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ])
+        path = tmp_path / f"x{suffix}"
+        write_nifti(path, data, affine)
+        out, out_affine = read_nifti(path)
+        np.testing.assert_allclose(out, data, rtol=1e-6)
+        np.testing.assert_allclose(out_affine, affine, atol=1e-5)
+
+    def test_multichannel_roundtrip(self, tmp_path):
+        data = np.random.default_rng(1).normal(size=(3, 5, 4, 6)).astype(np.float32)
+        path = tmp_path / "mc.nii.gz"
+        write_nifti(path, data, np.eye(4))
+        out, _ = read_nifti(path)
+        assert out.shape == (3, 5, 4, 6)
+        np.testing.assert_allclose(out, data, rtol=1e-6)
+
+
+class TestImage:
+    def test_lazy_load(self, tmp_path):
+        data = np.random.default_rng(2).normal(size=(1, 4, 4, 4)).astype(np.float32)
+        path = tmp_path / "img.nii.gz"
+        write_nifti(path, data, np.eye(4))
+        img = ScalarImage(str(path))
+        assert not img.loaded
+        np.testing.assert_allclose(img.data, data, rtol=1e-6)
+        assert img.loaded
+
+    def test_label_cast(self, tmp_path):
+        data = np.array([[[[1.0, 2.0], [0.0, 1.0]]]], dtype=np.float32)
+        path = tmp_path / "seg.nii.gz"
+        write_nifti(path, data, np.eye(4))
+        img = LabelMap(str(path))
+        assert np.issubdtype(img.data.dtype, np.integer)
+
+    def test_spacing(self):
+        affine = np.diag([2.0, 3.0, 4.0, 1.0])
+        img = ScalarImage(tensor=np.zeros((1, 2, 2, 2)), affine=affine)
+        assert img.spacing == (2.0, 3.0, 4.0)
+
+    def test_channel_concat_paths(self, tmp_path):
+        a = np.ones((1, 3, 3, 3), dtype=np.float32)
+        b = 2 * np.ones((1, 3, 3, 3), dtype=np.float32)
+        write_nifti(tmp_path / "a.nii", a, np.eye(4))
+        write_nifti(tmp_path / "b.nii", b, np.eye(4))
+        img = ScalarImage(str(tmp_path / "a.nii"), str(tmp_path / "b.nii"))
+        assert img.data.shape == (2, 3, 3, 3)
+
+
+class TestSubject:
+    def test_dict_behavior(self, subject):
+        assert "img" in subject
+        assert subject["name"] == "sub-001"
+        assert list(subject.get_images_dict().keys()) == ["img", "seg"]
+        assert subject.get_images_dict(intensity_only=True).keys() == {"img"}
+
+    def test_deepcopy_keeps_history(self, subject):
+        import copy
+
+        from segmentation_pipeline_tpu.transforms import RescaleIntensity
+
+        RescaleIntensity((0, 1))(subject)
+        assert len(subject.history) == 1
+        sub2 = copy.deepcopy(subject)
+        assert len(sub2.history) == 1
+        sub2["img"].data[:] = 0
+        assert not np.allclose(subject["img"].data, 0)
+
+    def test_consistent_shape_check(self, subject):
+        subject.check_consistent_spatial_shape()
+        subject["bad"] = ScalarImage(tensor=np.zeros((1, 2, 2, 2)))
+        with pytest.raises(RuntimeError):
+            subject.check_consistent_spatial_shape()
