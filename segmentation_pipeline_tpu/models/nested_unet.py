@@ -1,0 +1,55 @@
+"""NestedResUNet — UNet++-style nested skip grid.
+
+TPU-native re-design of ref models/nested_residual_unet.py:49-105: the same
+nested topology (conv0_0..conv0_3, AvgPool down, trilinear-align-corners up,
+3^3 out conv + channel softmax) expressed channels-last in flax with convs
+routed through ops/convolution.py.  Spatial dims must be divisible by 8
+(three pooling levels), as in the reference's 96x88x24 config
+(main_config.py:80).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.convolution import avg_pool3d, upsample_trilinear2x
+from .components import Block3d, Conv3d, Softmax
+
+
+class NestedResUNet(nn.Module):
+    input_channels: int
+    output_channels: int
+    filters: int = 40
+    dropout_p: float = 0.0
+    hypothesis_class: Any = Softmax
+    hypothesis_params: Optional[Dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.filters
+        block = lambda residual, name: Block3d(  # noqa: E731
+            features=f, residual=residual, dropout_p=self.dropout_p, name=name)
+        down = lambda t: avg_pool3d(t, 2, 2)  # noqa: E731
+        up = lambda t: upsample_trilinear2x(t, align_corners=True)  # noqa: E731
+        cat = lambda *ts: jnp.concatenate(ts, axis=-1)  # noqa: E731
+
+        x0_0 = block(True, "conv0_0")(x, train)
+        x1_0 = block(False, "conv1_0")(down(x0_0), train)
+        x0_1 = block(True, "conv0_1")(cat(x0_0, up(x1_0)), train)
+
+        x2_0 = block(False, "conv2_0")(down(x1_0), train)
+        x1_1 = block(False, "conv1_1")(cat(x1_0, up(x2_0), down(x0_1)), train)
+        x0_2 = block(True, "conv0_2")(cat(x0_1, up(x1_1)), train)
+
+        x3_0 = block(False, "conv3_0")(down(x2_0), train)
+        x2_1 = block(False, "conv2_1")(cat(x2_0, up(x3_0), down(x1_1)), train)
+        x1_2 = block(False, "conv1_2")(cat(x1_1, up(x2_1), down(x0_2)), train)
+        x0_3 = block(True, "conv0_3")(cat(x0_2, up(x1_2)), train)
+
+        x_out = Conv3d(features=self.output_channels, kernel_size=3, padding=1,
+                       name="out_conv")(x0_3)
+        hypothesis = self.hypothesis_class(**(self.hypothesis_params or {}))
+        return hypothesis(x_out)

@@ -2,10 +2,16 @@
 multi-chip sharding paths are exercised without TPU hardware (SURVEY §4)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pre-imports jax with an 'axon' TPU platform plugin
+# (sitecustomize); env vars alone don't override it. Force CPU via the
+# config API before any backend initialization.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
