@@ -38,7 +38,57 @@ from .data import (
     TensorLoader,
     get_dataset_fingerprint,
 )
+from .criterions import HybridLogisticDiceLoss
+from .data.loader import (
+    DataLoaderFactory,
+    LabelSampler,
+    PatchDataLoader,
+    PatchQueue,
+    RandomSampler,
+    SequentialSampler,
+    StandardDataLoader,
+    SubjectsLoader,
+    UniformSampler,
+    WeightedSampler,
+)
+from .loggers import FileLogger, Logger, NonLogger, WandbLogger
+from .models import (
+    Block3d,
+    BlurConv3d,
+    BlurConvTranspose3d,
+    ModularUNet,
+    NestedResUNet,
+    StochasticMatrix,
+    WSConv3d,
+)
+from .models.ensemble import EnsembleFlips, EnsembleModels, EnsembleOrientations
+from .prediction import (
+    PatchPredict,
+    Predictor,
+    StandardPredict,
+    add_evaluation_labels,
+)
+from .evaluators import (
+    ContourImageEvaluator,
+    Evaluator,
+    ImageRegionEvaluator,
+    InstanceSegmentationEvaluator,
+    LabeledTensor,
+    LabelMapEvaluator,
+    SegmentationEvaluator,
+)
+from .training import (
+    Adam,
+    Context,
+    Ref,
+    ScheduledEvaluation,
+    SegmentationTrainer,
+    SegModel,
+    SGD,
+    TorchContext,
+)
 from .transforms import *  # noqa: F401,F403
 from .utils import filter_kwargs, flatten_nested_dict, no_op, time_str_to_seconds
+from . import post_processing
 
 __version__ = "0.1.0"

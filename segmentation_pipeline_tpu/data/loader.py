@@ -1,0 +1,338 @@
+"""Data-loader factories: host-side async prefetch + patch queue.
+
+TPU-native re-design of ref data_loader_factory.py:10-54 and the torchio
+Queue/WeightedSampler machinery it wraps (SURVEY §2.3): batches are lists of
+Subjects (identity collate, ref utils.py:15); loading/augmentation runs in a
+host thread pool (numpy releases the GIL) that prefetches ahead of the device
+— the double-buffering role of torch DataLoader workers.  Patch sampling
+draws prob-map-weighted patch centers and applies a recorded Crop so the
+history tape stays invertible (torchio samplers do the same via tio.Crop).
+"""
+from __future__ import annotations
+
+import queue as queue_mod
+import random
+import threading
+from abc import ABC, abstractmethod
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.subject import Subject
+from ..transforms.base import get_rng
+from ..transforms.spatial import Crop
+
+
+class RandomSampler:
+    """Shuffled index order per epoch (torch RandomSampler analog)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __iter__(self):
+        ids = list(range(len(self.dataset)))
+        random.shuffle(ids)
+        return iter(ids)
+
+    def __len__(self):
+        return len(self.dataset)
+
+
+class SequentialSampler:
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __iter__(self):
+        return iter(range(len(self.dataset)))
+
+    def __len__(self):
+        return len(self.dataset)
+
+
+class _PrefetchIterator:
+    """Iterates dataset items in sampler order with a worker thread pool
+    prefetching ahead; preserves order."""
+
+    def __init__(self, fetch_fn, order: List[int], num_workers: int, prefetch: int = 4):
+        self.fetch_fn = fetch_fn
+        self.order = order
+        self.num_workers = num_workers
+        self.prefetch = max(prefetch, num_workers * 2) if num_workers > 0 else 0
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            for i in self.order:
+                yield self.fetch_fn(i)
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            futures = queue_mod.Queue()
+            order_iter = iter(self.order)
+            submitted = 0
+            for _ in range(self.prefetch):
+                try:
+                    idx = next(order_iter)
+                except StopIteration:
+                    break
+                futures.put(pool.submit(self.fetch_fn, idx))
+                submitted += 1
+            while submitted > 0:
+                fut = futures.get()
+                submitted -= 1
+                try:
+                    idx = next(order_iter)
+                    futures.put(pool.submit(self.fetch_fn, idx))
+                    submitted += 1
+                except StopIteration:
+                    pass
+                yield fut.result()
+
+
+class SubjectsLoader:
+    """Minimal DataLoader: yields lists of Subjects of size batch_size."""
+
+    def __init__(self, dataset, batch_size: int, sampler, num_workers: int = 0,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+
+    def __iter__(self) -> Iterator[List[Subject]]:
+        order = list(iter(self.sampler))
+        items = _PrefetchIterator(lambda i: self.dataset[i], order, self.num_workers)
+        batch = []
+        for item in items:
+            batch.append(item)
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def __len__(self):
+        n = len(self.sampler)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+
+# ---------------------------------------------------------------------------
+# Patch samplers (torchio sampler semantics)
+# ---------------------------------------------------------------------------
+
+def _parse_patch_size(patch_size) -> np.ndarray:
+    if isinstance(patch_size, int):
+        return np.array([patch_size] * 3)
+    return np.asarray(patch_size)
+
+
+def extract_patch(subject: Subject, start: Sequence[int], patch_size) -> Subject:
+    """Crop a patch out of a subject via the recorded Crop transform so the
+    patch's history stays invertible; stamps 'location' = (w0,h0,d0,w1,h1,d1)
+    like torchio's GridSampler patches."""
+    import copy
+
+    patch_size = _parse_patch_size(patch_size)
+    spatial = np.array(subject.spatial_shape)
+    start = np.asarray(start)
+    fin = spatial - (start + patch_size)
+    cropping = (int(start[0]), int(fin[0]), int(start[1]), int(fin[1]),
+                int(start[2]), int(fin[2]))
+    patch = copy.deepcopy(subject)
+    Crop(cropping)(patch)
+    patch["location"] = np.concatenate([start, start + patch_size]).astype(np.int64)
+    return patch
+
+
+class PatchSampler(ABC):
+    def __init__(self, patch_size):
+        self.patch_size = _parse_patch_size(patch_size)
+
+    @abstractmethod
+    def __call__(self, subject: Subject, num_patches: int) -> Iterator[Subject]:
+        ...
+
+
+class UniformSampler(PatchSampler):
+    """Uniform random patch locations (tio.UniformSampler analog)."""
+
+    def __call__(self, subject, num_patches):
+        spatial = np.array(subject.spatial_shape)
+        max_start = spatial - self.patch_size
+        if (max_start < 0).any():
+            raise RuntimeError(
+                f"Patch size {tuple(self.patch_size)} exceeds subject shape {tuple(spatial)}")
+        rng = get_rng()
+        for _ in range(num_patches):
+            start = [int(rng.integers(0, m + 1)) for m in max_start]
+            yield extract_patch(subject, start, self.patch_size)
+
+
+class WeightedSampler(PatchSampler):
+    """Probability-map-weighted patch centers (tio.WeightedSampler,
+    msseg2.py:148). Centers are drawn from the normalized probability map
+    restricted to the valid-center region so the patch always fits."""
+
+    def __init__(self, patch_size, probability_map: str):
+        super().__init__(patch_size)
+        self.probability_map = probability_map
+
+    def _valid_center_probs(self, subject) -> np.ndarray:
+        prob = np.asarray(subject[self.probability_map].data)[0].astype(np.float64)
+        spatial = np.array(prob.shape)
+        if (spatial < self.patch_size).any():
+            raise RuntimeError(
+                f"Patch size {tuple(self.patch_size)} exceeds subject shape {tuple(spatial)}")
+        # zero out probabilities whose patch would not fit (center-based;
+        # for even patch sizes the torchio convention: start = center - size//2,
+        # valid centers in [size//2, spatial - (size - size//2))
+        lo = self.patch_size // 2
+        hi = spatial - (self.patch_size - self.patch_size // 2)
+        masked = np.zeros_like(prob)
+        sl = tuple(slice(int(l), int(h) + 1) for l, h in zip(lo, hi))
+        masked[sl] = prob[sl]
+        total = masked.sum()
+        if total <= 0:
+            # degenerate map: fall back to uniform over valid centers
+            masked[sl] = 1.0
+            total = masked.sum()
+        return masked / total
+
+    def __call__(self, subject, num_patches):
+        probs = self._valid_center_probs(subject)
+        flat = probs.ravel()
+        rng = get_rng()
+        idx = rng.choice(flat.shape[0], size=num_patches, p=flat)
+        centers = np.stack(np.unravel_index(idx, probs.shape), axis=1)
+        for center in centers:
+            start = center - self.patch_size // 2
+            yield extract_patch(subject, start, self.patch_size)
+
+
+class LabelSampler(WeightedSampler):
+    """Patch centers drawn from label-positive voxels (tio.LabelSampler
+    analog): the probability map is the label mask itself."""
+
+    def __init__(self, patch_size, label_name: str, label_probabilities=None):
+        PatchSampler.__init__(self, patch_size)
+        self.probability_map = label_name
+        self.label_probabilities = label_probabilities
+
+    def _valid_center_probs(self, subject):
+        label = np.asarray(subject[self.probability_map].data)[0]
+        if self.label_probabilities:
+            prob = np.zeros(label.shape, dtype=np.float64)
+            for value, weight in self.label_probabilities.items():
+                prob[label == value] = weight
+        else:
+            prob = (label > 0).astype(np.float64)
+        spatial = np.array(prob.shape)
+        lo = self.patch_size // 2
+        hi = spatial - (self.patch_size - self.patch_size // 2)
+        masked = np.zeros_like(prob)
+        sl = tuple(slice(int(l), int(h) + 1) for l, h in zip(lo, hi))
+        masked[sl] = prob[sl]
+        total = masked.sum()
+        if total <= 0:
+            masked[sl] = 1.0
+            total = masked.sum()
+        return masked / total
+
+
+class PatchQueue:
+    """tio.Queue semantics (data_loader_factory.py:45-51): a shuffled buffer
+    of patches filled by worker threads pulling transformed subjects and
+    sampling ``samples_per_volume`` patches each."""
+
+    def __init__(self, dataset, max_length: int, samples_per_volume: int,
+                 sampler: PatchSampler, num_workers: int = 0,
+                 shuffle_subjects: bool = True, shuffle_patches: bool = True):
+        self.dataset = dataset
+        self.max_length = max_length
+        self.samples_per_volume = samples_per_volume
+        self.sampler = sampler
+        self.num_workers = num_workers
+        self.shuffle_subjects = shuffle_subjects
+        self.shuffle_patches = shuffle_patches
+
+    def __len__(self):
+        return len(self.dataset) * self.samples_per_volume
+
+    def _subject_iterator(self):
+        order = list(range(len(self.dataset)))
+        if self.shuffle_subjects:
+            random.shuffle(order)
+        return _PrefetchIterator(lambda i: self.dataset[i], order,
+                                 self.num_workers)
+
+    def __iter__(self) -> Iterator[Subject]:
+        buffer: List[Subject] = []
+        for subject in self._subject_iterator():
+            for patch in self.sampler(subject, self.samples_per_volume):
+                buffer.append(patch)
+            if len(buffer) >= self.max_length:
+                if self.shuffle_patches:
+                    random.shuffle(buffer)
+                while buffer:
+                    yield buffer.pop()
+        if self.shuffle_patches:
+            random.shuffle(buffer)
+        while buffer:
+            yield buffer.pop()
+
+
+class _QueueLoader:
+    """Batches patches out of a PatchQueue."""
+
+    def __init__(self, queue: PatchQueue, batch_size: int):
+        self.queue = queue
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        batch = []
+        for patch in self.queue:
+            batch.append(patch)
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
+    def __len__(self):
+        return (len(self.queue) + self.batch_size - 1) // self.batch_size
+
+
+# ---------------------------------------------------------------------------
+# Factories (the configuration surface, ref data_loader_factory.py:10-54)
+# ---------------------------------------------------------------------------
+
+class DataLoaderFactory(ABC):
+    @abstractmethod
+    def get_data_loader(self, dataset, batch_size: int, num_workers: int):
+        ...
+
+
+class StandardDataLoader(DataLoaderFactory):
+    def __init__(self, sampler=SequentialSampler):
+        self.sampler = sampler
+
+    def get_data_loader(self, dataset, batch_size: int, num_workers: int = 0):
+        return SubjectsLoader(dataset=dataset, batch_size=batch_size,
+                              sampler=self.sampler(dataset), num_workers=num_workers)
+
+
+class PatchDataLoader(DataLoaderFactory):
+    def __init__(self, max_length: int, samples_per_volume: int, sampler: PatchSampler):
+        self.max_length = max_length
+        self.samples_per_volume = samples_per_volume
+        self.sampler = sampler
+
+    def get_data_loader(self, dataset, batch_size: int, num_workers: int = 0):
+        queue = PatchQueue(dataset, max_length=self.max_length,
+                           samples_per_volume=self.samples_per_volume,
+                           sampler=self.sampler, num_workers=num_workers)
+        return _QueueLoader(queue, batch_size)

@@ -1,0 +1,138 @@
+"""Fused on-device sliding-window inference.
+
+TPU-native replacement for the reference's host-side
+GridSampler -> DataLoader -> GridAggregator loop (ref prediction.py:131-147):
+patch extraction via ``lax.dynamic_slice`` inside a ``lax.scan``, the model
+applied per patch-batch, and overlap-add aggregation (average or Hann/
+Gaussian-weighted) via ``lax.dynamic_update_slice`` accumulation — one XLA
+program per (volume shape, patch config), no host round-trips between
+patches.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def grid_locations(spatial_shape: Sequence[int], patch_size: Sequence[int],
+                   overlap: Sequence[int]) -> np.ndarray:
+    """Patch start locations covering the volume: stride = patch - overlap,
+    last window snapped to the boundary (torchio GridSampler coverage)."""
+    starts = []
+    for size, patch, ov in zip(spatial_shape, patch_size, overlap):
+        if patch > size:
+            raise ValueError(f"Patch size {patch} exceeds volume size {size}")
+        stride = patch - ov
+        if stride <= 0:
+            raise ValueError(f"Overlap {ov} must be smaller than patch {patch}")
+        axis_starts = list(range(0, size - patch + 1, stride))
+        if axis_starts[-1] != size - patch:
+            axis_starts.append(size - patch)
+        starts.append(axis_starts)
+    grid = np.stack(np.meshgrid(*starts, indexing="ij"), axis=-1).reshape(-1, 3)
+    return grid.astype(np.int32)
+
+
+def hann_window(patch_size: Sequence[int]) -> np.ndarray:
+    """Separable raised-cosine weight window (smooth overlap blending)."""
+    ws = []
+    for p in patch_size:
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * (np.arange(p) + 0.5) / p)
+        ws.append(w.astype(np.float32))
+    return ws[0][:, None, None] * ws[1][None, :, None] * ws[2][None, None, :]
+
+
+def _pad_locations(locations: np.ndarray, batch: int) -> Tuple[np.ndarray, int]:
+    """Pad the location list to a multiple of ``batch`` by repeating the last
+    location (duplicate contributions are harmless under weighted averaging
+    because the divisor accumulates identically)."""
+    n = locations.shape[0]
+    rem = (-n) % batch
+    if rem:
+        locations = np.concatenate([locations, np.repeat(locations[-1:], rem, 0)], 0)
+    return locations, n
+
+
+@partial(jax.jit, static_argnames=("model_fn", "patch_size", "patch_batch", "mode",
+                                   "out_channels"))
+def _sliding_window_jit(volume: jnp.ndarray, locations: jnp.ndarray,
+                        model_fn, patch_size: Tuple[int, int, int],
+                        patch_batch: int, mode: str, out_channels: int):
+    """volume: (W, H, D, C). locations: (L, 3) padded to patch_batch multiple."""
+    W, H, D, _ = volume.shape
+    pw, ph, pd = patch_size
+
+    acc = jnp.zeros((W, H, D, out_channels), jnp.float32)
+    div = jnp.zeros((W, H, D, 1), jnp.float32)
+
+    if mode == "hann":
+        weight = jnp.asarray(hann_window(patch_size))[..., None]
+    else:
+        weight = jnp.ones((pw, ph, pd, 1), jnp.float32)
+
+    locs = locations.reshape(-1, patch_batch, 3)
+
+    def body(carry, loc_batch):
+        acc, div = carry
+        patches = jax.vmap(
+            lambda loc: lax.dynamic_slice(
+                volume, (loc[0], loc[1], loc[2], 0), (pw, ph, pd, volume.shape[3]))
+        )(loc_batch)
+        preds = model_fn(patches)  # (B, pw, ph, pd, out_channels)
+
+        def scatter(carry, args):
+            acc, div = carry
+            loc, pred = args
+            start = (loc[0], loc[1], loc[2], 0)
+            cur = lax.dynamic_slice(acc, start, (pw, ph, pd, out_channels))
+            acc = lax.dynamic_update_slice(acc, cur + pred * weight, start)
+            curd = lax.dynamic_slice(div, start, (pw, ph, pd, 1))
+            div = lax.dynamic_update_slice(div, curd + weight, start)
+            return (acc, div), None
+
+        (acc, div), _ = lax.scan(scatter, (acc, div), (loc_batch, preds))
+        return (acc, div), None
+
+    (acc, div), _ = lax.scan(body, (acc, div), locs)
+    return acc / jnp.maximum(div, 1e-8)
+
+
+def sliding_window_inference(
+    volume_cf: jnp.ndarray,
+    model_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    patch_size,
+    patch_overlap=(0, 0, 0),
+    patch_batch: int = 8,
+    mode: str = "average",
+    out_channels: int = None,
+) -> jnp.ndarray:
+    """volume_cf: (C, W, H, D) single volume; model_fn maps channels-last
+    patch batches (B, pw, ph, pd, C) -> (B, pw, ph, pd, C_out).  Returns
+    (C_out, W, H, D) aggregated prediction. ``mode``: 'average' (uniform
+    overlap-add, tio default) or 'hann'.
+    """
+    if isinstance(patch_size, int):
+        patch_size = (patch_size,) * 3
+    if isinstance(patch_overlap, int):
+        patch_overlap = (patch_overlap,) * 3
+    patch_size = tuple(int(p) for p in patch_size)
+
+    volume = jnp.moveaxis(jnp.asarray(volume_cf, jnp.float32), 0, -1)
+    spatial = volume.shape[:3]
+    locations = grid_locations(spatial, patch_size, patch_overlap)
+    locations, _ = _pad_locations(locations, patch_batch)
+
+    if out_channels is None:
+        probe = jax.eval_shape(
+            model_fn, jax.ShapeDtypeStruct((patch_batch, *patch_size, volume.shape[3]),
+                                           jnp.float32))
+        out_channels = probe.shape[-1]
+
+    out = _sliding_window_jit(volume, jnp.asarray(locations), model_fn,
+                              patch_size, patch_batch, mode, out_channels)
+    return jnp.moveaxis(out, -1, 0)

@@ -1,0 +1,155 @@
+"""Predictors: whole-image and sliding-window patch inference.
+
+Behavioral parity with ref prediction.py:16-170 (StandardPredict with the
+sagittal split-and-flip batching trick, PatchPredict with overlap-averaged
+aggregation, add_evaluation_labels), re-designed TPU-first: predictions stay
+on device through the model; PatchPredict runs the fused sliding-window XLA
+program from ops/sliding_window.py instead of a host patch loop.
+"""
+from __future__ import annotations
+
+import copy
+from abc import ABC, abstractmethod
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core.subject import LabelMap, Subject, collate_subjects
+from .ops.sliding_window import sliding_window_inference
+from .transforms.base import LabelTransform, apply_inverse_on_new_subject
+from .transforms.spatial import EnforceConsistentAffine
+from .transforms.structural import ConcatenateImages, CopyProperty, RenameProperty
+
+
+def split_and_flip(x: jnp.ndarray) -> jnp.ndarray:
+    """Split each volume into hemispheres along W and mirror the second half
+    into the batch (ref prediction.py:16-21). x: (N, C, W, H, D)."""
+    half = x.shape[2] // 2
+    first, second = x[:, :, :half], x[:, :, half:]
+    return jnp.concatenate([first, jnp.flip(second, axis=2)], axis=0)
+
+
+def reverse_split_and_flip(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[0] // 2
+    first, second = x[:half], x[half:]
+    return jnp.concatenate([first, jnp.flip(second, axis=2)], axis=2)
+
+
+def apply_stochastic_matrix(y_pred: jnp.ndarray, y_prior: jnp.ndarray) -> jnp.ndarray:
+    """Cascade refinement: contract the C x C transition matrix with the prior
+    (ref prediction.py:30-38). Channel-first tensors."""
+    N, C = y_prior.shape[0], y_prior.shape[1]
+    spatial = y_prior.shape[2:]
+    y_pred = y_pred.reshape(N, C, C, *spatial)
+    return (y_pred * y_prior[:, None]).sum(axis=1)
+
+
+class Predictor(ABC):
+    """Gets model predictions for a list of subjects; attaches 'y_pred'."""
+
+    @abstractmethod
+    def predict(self, model, subjects: Sequence[Subject],
+                label_attributes: Optional[Dict[str, Any]] = None
+                ) -> Tuple[Sequence[Subject], Dict[str, jnp.ndarray]]:
+        ...
+
+
+def _attach_prediction(subject: Subject, y_pred: np.ndarray, label_attributes):
+    image = LabelMap(tensor=y_pred, **copy.deepcopy(label_attributes or {}))
+    if "X" in subject:
+        image.affine = subject["X"].affine.copy()
+    subject.add_image(image, "y_pred")
+    EnforceConsistentAffine(source_image_name="X")(subject)
+    return subject
+
+
+class StandardPredict(Predictor):
+    """Whole-image batched prediction (ref prediction.py:57-102)."""
+
+    def __init__(self, image_names: Sequence[str] = ("X",), sagittal_split: bool = False,
+                 refine_image: str = None):
+        image_names = list(image_names)
+        if refine_image is not None and refine_image not in image_names:
+            image_names.append(refine_image)
+        self.image_names = image_names
+        self.sagittal_split = sagittal_split
+        self.refine_image = refine_image
+
+    def predict(self, model, subjects, label_attributes=None):
+        batch = collate_subjects(subjects, image_names=self.image_names)
+
+        if self.sagittal_split:
+            split = split_and_flip(batch["X"])
+            y_pred = model(split)
+            y_pred = reverse_split_and_flip(y_pred)
+        else:
+            y_pred = model(batch["X"])
+
+        batch["y_pred"] = y_pred
+        y_np = np.asarray(y_pred)
+        out_subjects = []
+        for i, subject in enumerate(subjects):
+            out_subjects.append(_attach_prediction(subject, y_np[i], label_attributes))
+        return out_subjects, batch
+
+
+class PatchPredict(Predictor):
+    """Sliding-window patch prediction with fused on-device overlap-add
+    (ref prediction.py:105-152; the GridSampler/GridAggregator replacement)."""
+
+    def __init__(self, image_names: Sequence[str] = ("X",), patch_batch_size: int = 16,
+                 patch_size=None, patch_overlap=(0, 0, 0), padding_mode=None,
+                 overlap_mode: str = "average"):
+        self.image_names = list(image_names)
+        self.patch_batch_size = patch_batch_size
+        self.patch_size = patch_size
+        self.patch_overlap = patch_overlap
+        self.padding_mode = padding_mode
+        self.overlap_mode = overlap_mode
+
+    def predict(self, model, subjects, label_attributes=None):
+        mode = "average" if self.overlap_mode == "average" else self.overlap_mode
+
+        def model_fn(patches_cl):
+            # channels-last patches -> model wrapper speaks channel-first
+            y = model(jnp.moveaxis(patches_cl, -1, 1))
+            return jnp.moveaxis(y, 1, -1)
+
+        out_subjects = []
+        preds = []
+        for subject in subjects:
+            volume = np.asarray(subject["X"].data)
+            y_pred = sliding_window_inference(
+                volume, model_fn, patch_size=self.patch_size,
+                patch_overlap=self.patch_overlap,
+                patch_batch=self.patch_batch_size, mode=mode)
+            y_np = np.asarray(y_pred)
+            preds.append(y_np)
+            out_subjects.append(_attach_prediction(subject, y_np, label_attributes))
+
+        batch = collate_subjects(subjects, image_names=self.image_names)
+        batch["y_pred"] = jnp.asarray(np.stack(preds))
+        return out_subjects, batch
+
+
+def add_evaluation_labels(subjects: Sequence[Subject]):
+    """Invert the label-only part of each subject's history on 'y_pred'/'y'
+    and attach 'y_pred_eval'/'y_eval' (ref prediction.py:155-170)."""
+    label_types = [LabelTransform, CopyProperty, RenameProperty, ConcatenateImages]
+    for subject in subjects:
+        records = subject.get_composed_history()
+
+        if "y_pred" in subject:
+            # deepcopy: our transforms mutate in place (the reference relies
+            # on torchio's copy-by-default instead)
+            pred_subject = Subject({"y": copy.deepcopy(subject["y_pred"])})
+            out = apply_inverse_on_new_subject(records, pred_subject,
+                                               include_types=label_types, warn=False)
+            subject.add_image(out.get_first_image(), "y_pred_eval")
+
+        if "y" in subject:
+            target_subject = Subject({"y": copy.deepcopy(subject["y"])})
+            out = apply_inverse_on_new_subject(records, target_subject,
+                                               include_types=label_types, warn=False)
+            subject.add_image(out.get_first_image(), "y_eval")

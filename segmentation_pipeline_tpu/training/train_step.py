@@ -36,13 +36,31 @@ def create_train_state(model, optimizer, example_batch_cf: Dict[str, Any]) -> Tr
                       batch_stats=model.batch_stats, opt_state=opt_state)
 
 
+def _split_and_flip_cl(x: jnp.ndarray) -> jnp.ndarray:
+    """Sagittal hemisphere split into the batch, channels-last (the TPU-side
+    fused version of ref prediction.py:16-21). x: (N, W, H, D, C)."""
+    half = x.shape[1] // 2
+    first, second = x[:, :half], x[:, half:]
+    return jnp.concatenate([first, jnp.flip(second, axis=1)], axis=0)
+
+
+def _reverse_split_and_flip_cl(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[0] // 2
+    first, second = x[:half], x[half:]
+    return jnp.concatenate([first, jnp.flip(second, axis=1)], axis=1)
+
+
 def make_train_step(module, criterion, optimizer, mesh: Optional[Mesh] = None,
-                    data_axis: str = "data"):
-    """Returns train_step(state, batch_cl, rng) -> (state, metrics).
+                    data_axis: str = "data", sagittal_split: bool = False):
+    """Returns train_step(state, batch_cl, rng) -> (state, metrics, y_pred).
 
     batch_cl: {'X': (N, W, H, D, C), 'y': (N, W, H, D, C)} channels-last.
-    With a mesh, inputs are expected batch-sharded over ``data_axis`` and the
-    state replicated; without one it is a plain single-device jit.
+    Forward (optionally through the sagittal-split batching trick), hybrid
+    loss, backward, and the optax update fuse into one XLA program.  With a
+    mesh, inputs are expected batch-sharded over ``data_axis`` and the state
+    replicated; without one it is a plain single-device jit.  The (train-mode)
+    prediction is returned for scheduled training evaluators
+    (ref segmentation_trainer.py:182-191).
     """
 
     def loss_fn(params, batch_stats, batch, rng):
@@ -51,36 +69,38 @@ def make_train_step(module, criterion, optimizer, mesh: Optional[Mesh] = None,
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
-        out = module.apply(variables, batch["X"], train=True,
+        x = batch["X"]
+        if sagittal_split:
+            x = _split_and_flip_cl(x)
+        out = module.apply(variables, x, train=True,
                            rngs={"dropout": rng}, mutable=mutable)
         if mutable:
             y_pred, new_vars = out
             new_batch_stats = new_vars.get("batch_stats", batch_stats)
         else:
             y_pred, new_batch_stats = out, batch_stats
+        if sagittal_split:
+            y_pred = _reverse_split_and_flip_cl(y_pred)
         loss_dict = criterion(y_pred, batch["y"])
-        return loss_dict["loss"], (loss_dict, new_batch_stats)
+        return loss_dict["loss"], (loss_dict, new_batch_stats, y_pred)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> tuple:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (loss_dict, new_batch_stats)), grads = grad_fn(
+        (_, (loss_dict, new_batch_stats, y_pred)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
                                batch_stats=new_batch_stats, opt_state=new_opt_state)
-        return new_state, loss_dict
+        return new_state, loss_dict, y_pred
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(data_axis))
-    state_sharding = jax.tree_util.tree_map(lambda _: repl, 0)  # placeholder
     return jax.jit(
         step_fn,
         in_shardings=(None, {"X": data, "y": data}, None),
-        out_shardings=(None, None),
         donate_argnums=(0,),
     )
 

@@ -1,0 +1,313 @@
+"""SegmentationTrainer: the scheduled-evaluation training loop.
+
+Behavioral parity with ref segmentation_trainer.py:18-300 — iteration-based
+training with interval-scheduled evaluators over named cohorts, model
+scoring + best-checkpoint tracking, early stopping, wall-clock budget with a
+save buffer, and cooperative SIGINT/SIGTERM/SIGUSR2 preemption — built around
+the fused jitted train step (training/train_step.py) instead of a Python
+forward/backward sequence.  The forward+loss+backward+update is one XLA
+program; the host does scheduling, evaluation, and logging only.
+"""
+from __future__ import annotations
+
+import math
+import os
+import signal
+import threading
+import time
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import numpy as np
+
+from ..data.loader import DataLoaderFactory
+from ..evaluators import Evaluator
+from ..loggers import Logger, NonLogger
+from ..prediction import Predictor, _attach_prediction, add_evaluation_labels
+from ..utils.misc import auto_str, time_str_to_seconds
+from ..utils.timer import Timer
+from .model import to_channels_first
+from .train_step import TrainState, collate_to_device, make_train_step
+
+EXIT = threading.Event()
+EXIT.clear()
+
+
+def _clean_exit_handler(signum, frame):
+    EXIT.set()
+    print("Exiting cleanly", flush=True)
+
+
+def install_signal_handlers():
+    """SIGINT/SIGTERM/SIGUSR2 -> clean-exit event (SLURM preemption,
+    ref segmentation_trainer.py:22-30). Safe to call from the main thread
+    only; the trainer calls it lazily."""
+    signal.signal(signal.SIGINT, _clean_exit_handler)
+    signal.signal(signal.SIGTERM, _clean_exit_handler)
+    if os.name != "nt":
+        signal.signal(signal.SIGUSR2, _clean_exit_handler)
+
+
+class ScheduledEvaluation:
+    def __init__(self, evaluator: Evaluator, log_name: str,
+                 cohorts: Sequence[str] = None, subjects: Sequence[str] = None,
+                 interval: int = 1):
+        assert not (cohorts and subjects), \
+            "One of cohorts or subjects may be provided, but not both."
+        self.evaluator = evaluator
+        self.log_name = log_name
+        self.cohorts = cohorts
+        self.subjects = subjects
+        self.interval = interval
+
+    def __repr__(self):
+        return auto_str(self)
+
+
+class SegmentationTrainer:
+    def __init__(self, training_batch_size: int, save_rate: int,
+                 scoring_interval: int, scoring_function: Callable,
+                 one_time_evaluators: Sequence[ScheduledEvaluation],
+                 training_evaluators: Sequence[ScheduledEvaluation],
+                 validation_evaluators: Sequence[ScheduledEvaluation],
+                 max_iterations_with_no_improvement: int,
+                 train_predictor: Predictor, validation_predictor: Predictor,
+                 train_dataloader_factory: DataLoaderFactory,
+                 validation_dataloader_factory: DataLoaderFactory,
+                 mesh=None):
+        self.training_batch_size = training_batch_size
+        self.save_rate = save_rate
+        self.scoring_interval = scoring_interval
+        self.scoring_function = scoring_function
+        self.one_time_evaluators = one_time_evaluators
+        self.training_evaluators = training_evaluators
+        self.validation_evaluators = validation_evaluators
+        self.max_iterations_with_no_improvement = max_iterations_with_no_improvement
+        self.train_predictor = train_predictor
+        self.validation_predictor = validation_predictor
+        self.train_dataloader_factory = train_dataloader_factory
+        self.validation_dataloader_factory = validation_dataloader_factory
+        self.mesh = mesh
+
+        self.iteration = 0
+        self.max_score = float("-inf")
+        self.max_score_iteration = -1
+        self._train_state: Optional[TrainState] = None
+
+    # ---- checkpoint state ---------------------------------------------
+    def state_dict(self):
+        state = {
+            "iteration": self.iteration,
+            "max_score": self.max_score,
+            "max_score_iteration": self.max_score_iteration,
+        }
+        if self._train_state is not None:
+            state["opt_state"] = jax.tree_util.tree_map(
+                np.asarray, self._train_state.opt_state)
+        return state
+
+    def load_state_dict(self, state):
+        self.iteration = state["iteration"]
+        self.max_score = state["max_score"]
+        self.max_score_iteration = state["max_score_iteration"]
+        self._restored_opt_state = state.get("opt_state")
+
+    # ---- training ------------------------------------------------------
+    def train(self, context, max_iterations: int = None,
+              max_training_time: Optional[Union[int, str]] = None,
+              preload_training_data: bool = False,
+              preload_validation_data: bool = False,
+              num_workers: int = 0, validation_batch_size: int = 16,
+              logger: Logger = None, force_continue: bool = False):
+        logger = logger or NonLogger()
+        if threading.current_thread() is threading.main_thread():
+            install_signal_handlers()
+
+        if max_training_time is not None:
+            training_time = time_str_to_seconds(max_training_time)
+            save_buffer = min(int(training_time * 0.1), 5 * 60)
+            stop_time = time.time() + training_time - save_buffer
+        else:
+            stop_time = math.inf
+
+        if force_continue:
+            self.max_score = float("-inf")
+            self.max_score_iteration = self.iteration
+
+        print("Initializing logger.")
+        logger.setup(context)
+
+        training_dataset = context.dataset.get_cohort_dataset("training")
+        if preload_training_data:
+            t = time.time()
+            print("Preloading training data...")
+            training_dataset.preload_subjects()
+            print(f"Done. Took {round(time.time() - t, 2)}s")
+
+        validation_filter = self.get_filter_from_scheduled_evaluations(
+            context.dataset, self.validation_evaluators)
+        validation_dataset = context.dataset.get_cohort_dataset(validation_filter)
+        if preload_validation_data:
+            t = time.time()
+            print("Preloading validation data...")
+            validation_dataset.preload_and_transform_subjects()
+            print(f"Done. Took {round(time.time() - t, 2)}s")
+
+        training_dataloader = self.train_dataloader_factory.get_data_loader(
+            dataset=training_dataset, batch_size=self.training_batch_size,
+            num_workers=num_workers)
+
+        def infinite(loader):
+            while True:
+                yield from loader
+
+        training_iterator = infinite(training_dataloader)
+
+        # label attributes for wrapping raw predictions as LabelMaps
+        # (ref :153-158)
+        y_sample = training_dataset[0]["y"]
+        label_attributes = dict(y_sample.metadata)
+
+        # Build the fused train step
+        model = context.model
+        criterion = context.criterion
+        optimizer = context.optimizer
+        sagittal_split = getattr(self.train_predictor, "sagittal_split", False)
+
+        first_batch = None
+        train_step = None
+
+        timer = Timer()
+        rng = jax.random.PRNGKey(self.iteration)
+        max_iterations = int(max_iterations if max_iterations is not None else 10 ** 9)
+
+        for _ in range(max_iterations):
+            timer.start()
+
+            subjects = next(training_iterator)
+            batch_cf = {
+                "X": np.stack([np.asarray(s["X"].data) for s in subjects]).astype(np.float32),
+                "y": np.stack([np.asarray(s["y"].data) for s in subjects]).astype(np.float32),
+            }
+            timer.stamp("data_loading")
+
+            if train_step is None:
+                model.ensure_initialized(batch_cf["X"])
+                opt_state = optimizer.init(model.params)
+                restored = getattr(self, "_restored_opt_state", None)
+                if restored is not None:
+                    import jax.numpy as jnp
+
+                    opt_state = jax.tree_util.tree_map(jnp.asarray, restored)
+                    self._restored_opt_state = None
+                self._train_state = TrainState(
+                    step=np.int32(self.iteration), params=model.params,
+                    batch_stats=model.batch_stats, opt_state=opt_state)
+                train_step = make_train_step(model.module, criterion, optimizer,
+                                             mesh=self.mesh,
+                                             sagittal_split=sagittal_split)
+
+            batch = collate_to_device(batch_cf, mesh=self.mesh)
+            rng, step_rng = jax.random.split(rng)
+            self._train_state, loss_dict, y_pred_cl = train_step(
+                self._train_state, batch, step_rng)
+            model.update_variables(self._train_state.params,
+                                   self._train_state.batch_stats)
+            loss_dict = {k: float(v) for k, v in loss_dict.items()}
+            timer.stamp("train_step", sync_on=y_pred_cl)
+
+            # Scheduled training evaluators see the train-mode predictions
+            training_evaluations = {}
+            scheduled_train = [s for s in self.training_evaluators
+                               if self.iteration % s.interval == 0]
+            if scheduled_train:
+                y_pred_cf = np.asarray(to_channels_first(y_pred_cl))
+                for i, subject in enumerate(subjects):
+                    _attach_prediction(subject, y_pred_cf[i], label_attributes)
+                add_evaluation_labels(subjects)
+            for scheduled in scheduled_train:
+                training_evaluations[scheduled.log_name] = scheduled.evaluator(subjects)
+                timer.stamp(f"evaluation.{scheduled.log_name}")
+
+            # Scheduled validation sweep
+            validation_evaluations = {}
+            scheduled_validation = [s for s in self.validation_evaluators
+                                    if self.iteration % s.interval == 0]
+            if scheduled_validation:
+                validation_filter = self.get_filter_from_scheduled_evaluations(
+                    context.dataset, scheduled_validation)
+                validation_dataset.set_cohort(validation_filter)
+                validation_dataloader = self.validation_dataloader_factory.get_data_loader(
+                    dataset=validation_dataset, batch_size=validation_batch_size,
+                    num_workers=num_workers)
+                validation_subjects = []
+                for val_subjects in validation_dataloader:
+                    val_subjects, _ = self.validation_predictor.predict(
+                        model, val_subjects, label_attributes=label_attributes)
+                    add_evaluation_labels(val_subjects)
+                    validation_subjects += val_subjects
+                validation_subjects_map = {s["name"]: s for s in validation_subjects}
+                timer.stamp("model_forward_evaluation")
+
+                for scheduled in scheduled_validation:
+                    if scheduled.cohorts is not None:
+                        cohort_evaluations = {}
+                        validation_evaluations[scheduled.log_name] = cohort_evaluations
+                        for cohort_name in scheduled.cohorts:
+                            subject_filter = validation_dataset.cohorts[cohort_name]
+                            filtered = subject_filter(validation_subjects)
+                            cohort_evaluations[cohort_name] = scheduled.evaluator(filtered)
+                            timer.stamp(f"evaluation.{scheduled.log_name}.{cohort_name}")
+                    elif scheduled.subjects is not None:
+                        filtered = [validation_subjects_map[name]
+                                    for name in scheduled.subjects]
+                        validation_evaluations[scheduled.log_name] = \
+                            scheduled.evaluator(filtered)
+                        timer.stamp(f"evaluation.{scheduled.log_name}")
+
+            log_dict = {**loss_dict, **training_evaluations, **validation_evaluations}
+
+            if self.iteration % self.save_rate == 0:
+                logger.save_context(context, "checkpoints/", self.iteration)
+                timer.stamp("save_checkpoint")
+
+            if self.iteration % self.scoring_interval == 0:
+                new_score = float(self.scoring_function(log_dict))
+                log_dict["model_score"] = new_score
+                if new_score > self.max_score:
+                    self.max_score = new_score
+                    self.max_score_iteration = self.iteration
+                    logger.save_context(context, "best_checkpoints/", self.iteration)
+                    timer.stamp("save_best_checkpoint")
+
+            log_dict["timer"] = dict(timer.timestamps)
+            logger.log(log_dict)
+
+            iterations_with_no_improvement = self.iteration - self.max_score_iteration
+            if iterations_with_no_improvement > self.max_iterations_with_no_improvement:
+                print(f"Training stopped on iteration {self.iteration} due to not "
+                      f"improving for {iterations_with_no_improvement} iterations.")
+                break
+
+            if EXIT.is_set() or time.time() > stop_time:
+                if EXIT.is_set():
+                    print("Training stopped early due to manual exit signal.")
+                else:
+                    print("Training time expired.")
+                break
+
+            self.iteration += 1
+
+        print("Saving context...")
+        logger.save_context(context, "checkpoints/", self.iteration)
+
+    def get_filter_from_scheduled_evaluations(self, dataset, scheduled_evaluations):
+        from ..data.subject_filters import AnyFilter, RequireAttributes
+
+        filters = []
+        for scheduled in scheduled_evaluations:
+            if scheduled.cohorts is not None:
+                filters += [dataset.cohorts[name] for name in scheduled.cohorts]
+            elif scheduled.subjects is not None:
+                filters.append(RequireAttributes({"name": scheduled.subjects}))
+        return AnyFilter(filters)

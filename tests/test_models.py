@@ -189,7 +189,7 @@ class TestTrainStep:
         losses = []
         for i in range(30):
             rng, sub = jax.random.split(rng)
-            state, loss_dict = step(state, batch, sub)
+            state, loss_dict, _ = step(state, batch, sub)
             losses.append(float(loss_dict["loss"]))
         assert losses[-1] < losses[0] * 0.7, losses[::10]
         # sync weights back into the wrapper and predict
@@ -209,9 +209,9 @@ class TestTrainStep:
         model, state, step, batch_cf = self._setup(mesh=mesh, batch=8)
         batch = collate_to_device(batch_cf, mesh=mesh)
         rng = jax.random.PRNGKey(0)
-        state, loss_dict = step(state, batch, rng)
+        state, loss_dict, _ = step(state, batch, rng)
         assert np.isfinite(float(loss_dict["loss"]))
-        state, loss_dict2 = step(state, batch, rng)
+        state, loss_dict2, _ = step(state, batch, rng)
         assert float(loss_dict2["loss"]) != float(loss_dict["loss"])
 
     def test_sgd_momentum(self):
@@ -220,5 +220,5 @@ class TestTrainStep:
         state = create_train_state(model, optimizer, batch_cf)
         step = make_train_step(model.module, HybridLogisticDiceLoss(), optimizer)
         batch = collate_to_device(batch_cf)
-        state2, loss = step(state, batch, jax.random.PRNGKey(0))
+        state2, loss, _ = step(state, batch, jax.random.PRNGKey(0))
         assert int(state2.step) == 1
