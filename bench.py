@@ -1,0 +1,81 @@
+"""Headline benchmark: dmri_hippo 3D U-Net training throughput on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: full fused train step (forward + hybrid logistic/Dice loss +
+backward + Adam update) of NestedResUNet(3->2, filters=40, dropout 0.2) on
+batch 4 whole volumes 96x88x24 — the reference's canonical training config
+(ref main_config.py:23,80,123-127).  vs_baseline compares against the
+torch-CPU reference stack measured fresh on this machine
+(BASELINE_MEASURED.json; the reference publishes no numbers, BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from segmentation_pipeline_tpu.criterions import HybridLogisticDiceLoss
+    from segmentation_pipeline_tpu.models import NestedResUNet
+    from segmentation_pipeline_tpu.training.model import SegModel
+    from segmentation_pipeline_tpu.training.optimizers import Adam
+    from segmentation_pipeline_tpu.training.train_step import (
+        collate_to_device,
+        create_train_state,
+        make_train_step,
+    )
+
+    batch = 4
+    model = SegModel(NestedResUNet(input_channels=3, output_channels=2,
+                                   filters=40, dropout_p=0.2))
+    criterion = HybridLogisticDiceLoss()
+    optimizer = Adam(lr=2e-4)
+
+    rng_np = np.random.default_rng(0)
+    X = rng_np.normal(size=(batch, 3, 96, 88, 24)).astype(np.float32)
+    lab = (X[:, 0] > 0.5).astype(np.float32)
+    y = np.stack([1 - lab, lab], axis=1)
+    batch_cf = {"X": X, "y": y}
+
+    state = create_train_state(model, optimizer, batch_cf)
+    step = make_train_step(model.module, criterion, optimizer)
+    device_batch = collate_to_device(batch_cf)
+
+    rng = jax.random.PRNGKey(0)
+    # warmup/compile
+    state, loss_dict, _ = step(state, device_batch, rng)
+    jax.block_until_ready(loss_dict["loss"])
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    t0 = time.time()
+    for _ in range(n_steps):
+        rng, sub = jax.random.split(rng)
+        state, loss_dict, _ = step(state, device_batch, sub)
+    jax.block_until_ready(loss_dict["loss"])
+    dt = time.time() - t0
+
+    volumes_per_sec = n_steps * batch / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    with open(baseline_path) as f:
+        baseline = json.load(f)["torch_cpu_train_volumes_per_sec"]
+
+    print(json.dumps({
+        "metric": "dmri_hippo 3D U-Net train throughput (batch 4, 96x88x24x3, full fwd+loss+bwd+Adam)",
+        "value": round(volumes_per_sec, 3),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(volumes_per_sec / baseline, 1),
+    }))
+
+
+if __name__ == "__main__":
+    # keep stdout clean: one JSON line only
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    main()
