@@ -1,0 +1,84 @@
+"""Two-stage cascade refinement experiment (ref configs/cascade.py:10-81):
+adds a y_prior prediction loader, one-hots it, swaps the model head to a
+StochasticMatrix C^2 output, SGD optimizer, refine_image predictors."""
+import os
+
+from segmentation_pipeline_tpu import (
+    SGD,
+    BlurConv3d,
+    BlurConvTranspose3d,
+    CustomOneHot,
+    ImageLoader,
+    LabelMap,
+    ModularUNet,
+    StandardPredict,
+    StochasticMatrix,
+)
+
+from . import main_config as base_config
+
+
+def get_context(device=None, variables=None, prior_label_name="standard",
+                model_type=None, **kwargs):
+    context = base_config.get_context(device, variables, **kwargs)
+    context.file_paths.append(os.path.abspath(__file__))
+    context.config.update({
+        "prior_label_name": prior_label_name,
+        "model_type": model_type,
+        "optimizer": "SGD",
+    })
+
+    dataset_defn = context.get_component_definition("dataset")
+
+    subject_loader = dataset_defn["params"]["subject_loader"]
+    subject_loader.loaders.append(
+        ImageLoader(
+            glob_pattern=f"$PREDICTIONS_PATH/subjects/$SUBJECT_NAME/{prior_label_name}.*",
+            image_name="y_prior", image_constructor=LabelMap,
+            label_values={"left_whole": 1, "right_whole": 2}))
+
+    default_transform = dataset_defn["params"]["transforms"]["default"]
+    _, common_transforms_2 = default_transform.transforms
+    # y_prior flows through the spatial preprocessing automatically (our
+    # transforms apply to all images when include is None); it only needs
+    # its own one-hot at the end.
+    common_transforms_2.transforms += [CustomOneHot(include=["y_prior"])]
+
+    output_channels = 4 if kwargs.get("predict_hbt") else 2
+    model_defn = context.get_component_definition("model")
+    if model_type is None:
+        model_params = model_defn["params"]
+        model_params["output_channels"] = output_channels * output_channels
+        model_params["hypothesis_class"] = StochasticMatrix
+        model_params["hypothesis_params"] = {"channels": output_channels}
+    elif model_type == "basic_unet":
+        model_defn["constructor"] = ModularUNet
+        model_defn["params"] = {
+            "in_channels": 3,
+            "out_channels": output_channels * output_channels,
+            "filters": [40, 80, 120],
+            "depth": 3,
+            "block_params": {"residual": True},
+            "downsample_class": BlurConv3d,
+            "downsample_params": {"kernel_size": 3, "stride": 2, "padding": 1},
+            "upsample_class": BlurConvTranspose3d,
+            "upsample_params": {"kernel_size": 3, "stride": 2, "padding": 1,
+                                "output_padding": 0},
+            "hypothesis_class": StochasticMatrix,
+            "hypothesis_params": {"channels": output_channels, "diag_bias": 5},
+        }
+    else:
+        raise ValueError()
+
+    optimizer_defn = context.get_component_definition("optimizer")
+    optimizer_defn["constructor"] = SGD
+    optimizer_defn["params"] = {"lr": 0.01, "momentum": 0.95}
+
+    trainer_defn = context.get_component_definition("trainer")
+    trainer_params = trainer_defn["params"]
+    trainer_params["train_predictor"] = StandardPredict(
+        sagittal_split=True, image_names=["X", "y"], refine_image="y_prior")
+    trainer_params["validation_predictor"] = StandardPredict(
+        sagittal_split=True, image_names=["X"], refine_image="y_prior")
+
+    return context

@@ -1,0 +1,116 @@
+"""MSSEG2 challenge inference: checkpoint(s) -> new-lesion mask in original space.
+
+Counterpart of ref research/msseg2/competition/ms-inference.py:13-90:
+patch-based inference (96^3, overlap 48, edge padding), full inverse back
+through the history, hole removal (64) + small-component removal (3),
+resample onto the original image grid, save NIfTI.
+
+    python -m research.msseg2.competition.ms_inference <ensemble> <dataset> out.nii.gz
+"""
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from segmentation_pipeline_tpu import (
+    Context,
+    EnsembleFlips,
+    EnsembleModels,
+    EnsembleOrientations,
+    PatchPredict,
+    Subject,
+)
+from segmentation_pipeline_tpu.post_processing import remove_holes, remove_small_components
+from segmentation_pipeline_tpu.transforms.base import invert_records
+
+
+def inference(dataset, model, out_folder, output_filename):
+    predictor = PatchPredict(patch_batch_size=1, patch_size=96, patch_overlap=48,
+                             padding_mode="edge", overlap_mode="average",
+                             image_names=["X"])
+
+    for i in range(len(dataset)):
+        subject = dataset[i]
+        untransformed_subject = dataset.subjects[i]
+        print(f"Running model for subject {subject['name']}")
+
+        folder = Path(subject["folder"]) if out_folder == "" else \
+            Path(out_folder) / subject["name"]
+        folder.mkdir(exist_ok=True, parents=True)
+
+        [subject], _ = predictor.predict(model, [subject])
+
+        records = subject.get_composed_history()
+        pred_subject = Subject({"y": subject["y_pred"]})
+        pred_subject = invert_records(pred_subject, records, warn=False)
+        output_label = pred_subject.get_first_image()
+
+        label_data = np.argmax(np.asarray(output_label.data), axis=0) \
+            if output_label.data.shape[0] > 1 else np.asarray(output_label.data)[0]
+        label_data = label_data.astype(np.int32)
+
+        label_data, hole_voxels_removed = remove_holes(label_data, hole_size=64)
+        print(f"Filled {hole_voxels_removed} voxels from detected holes.")
+
+        label_data, small_removed = remove_small_components(label_data, 3)
+        print(f"Removed {small_removed} voxels from small predictions less than size 3.")
+
+        output_label.set_data(label_data[None].astype(np.int32))
+
+        # resample back onto the original image grid (nearest-neighbor)
+        from segmentation_pipeline_tpu.transforms.spatial import resample_array
+
+        target_image = untransformed_subject.get_first_image()
+        target_image.load()
+
+        data = resample_array(np.asarray(output_label.data).astype(np.float32),
+                              output_label.affine, target_image.affine,
+                              target_image.spatial_shape, order=0)
+        output_label.set_data(np.rint(data).astype(np.int32))
+        output_label.affine = target_image.affine.copy()
+
+        if output_label.spatial_shape != target_image.spatial_shape:
+            raise RuntimeError("Segmentation shape and original image shape do not match.")
+
+        output_label.save(folder / output_filename)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="MSSEG2 new-lesion segmentation")
+    parser.add_argument("ensemble_path")
+    parser.add_argument("dataset_path")
+    parser.add_argument("output_filename")
+    parser.add_argument("--out-folder", default="")
+    parser.add_argument("--ensemble-orientations", default="",
+                        choices=["", "flips", "orientations"])
+    parser.add_argument("--ensemble-folds", action="store_true")
+    parser.add_argument("--cohort", default=None)
+    args = parser.parse_args()
+
+    contexts = []
+    for file_path in sorted(Path(args.ensemble_path).iterdir()):
+        context = Context(file_path=file_path,
+                          variables=dict(DATASET_PATH=args.dataset_path))
+        context.keep_components(("model", "dataset"))
+        context.init_components()
+        if args.ensemble_orientations == "orientations":
+            context.model = EnsembleOrientations(context.model, strategy="majority")
+        if args.ensemble_orientations == "flips":
+            context.model = EnsembleFlips(context.model, strategy="majority")
+        contexts.append(context)
+    print("Loaded models.")
+
+    if args.ensemble_folds:
+        context = contexts[0]
+        context.model = EnsembleModels([c.model for c in contexts], strategy="majority")
+        contexts = [context]
+
+    for i, context in enumerate(contexts):
+        dataset = (context.dataset if args.cohort is None
+                   else context.dataset.get_cohort_dataset(args.cohort))
+        print(f"Running evaluation for context {i}")
+        inference(dataset, context.model, args.out_folder, args.output_filename)
+
+
+if __name__ == "__main__":
+    main()

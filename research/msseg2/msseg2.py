@@ -1,0 +1,209 @@
+"""MSSEG2 longitudinal new-lesion segmentation experiment.
+
+TPU-native counterpart of ref research/msseg2/msseg2.py:11-166: two-timepoint
+FLAIR concat, 1mm resample + crop-to-brain-mask + min-pad, aggressive spatial
+augmentation, patch-probability weight map feeding a WeightedSampler 96^3
+patch queue, depth-6 BlurConv ModularUNet, class-weighted hybrid loss,
+PatchPredict validation, nan-aware Dice scoring.
+"""
+import os
+
+import numpy as np
+
+from segmentation_pipeline_tpu import (
+    SGD,
+    BlurConv3d,
+    BlurConvTranspose3d,
+    Compose,
+    ComposeLoaders,
+    ConcatenateImages,
+    ContourImageEvaluator,
+    Context,
+    CropToMask,
+    CustomOneHot,
+    HybridLogisticDiceLoss,
+    ImageFromLabels,
+    ImageLoader,
+    LabelMap,
+    LabelMapEvaluator,
+    MinSizePad,
+    ModularUNet,
+    NegateFilter,
+    OneOf,
+    PatchDataLoader,
+    PatchPredict,
+    RandomAffine,
+    RandomBiasField,
+    RandomBlur,
+    RandomElasticDeformation,
+    RandomFlip,
+    RandomFoldFilter,
+    RandomGamma,
+    RandomNoise,
+    RandomPermuteDimensions,
+    RenameProperty,
+    RequireAttributes,
+    RescaleIntensity,
+    ScalarImage,
+    ScheduledEvaluation,
+    SegmentationEvaluator,
+    SegmentationTrainer,
+    SequentialSampler,
+    SetDataType,
+    StandardDataLoader,
+    StandardPredict,
+    SubjectFolder,
+    TargetResample,
+    WeightedSampler,
+    EnforceConsistentAffine,
+)
+
+
+def get_context(device=None, variables=None, fold=0, patch_size=96,
+                filters=(40, 40, 80, 80, 120, 120), **kwargs):
+    """patch_size/filters default to the reference config (msseg2.py:17,87);
+    override only for small-scale smoke tests."""
+    context = Context(device, name="msseg2", variables=variables)
+    context.file_paths.append(os.path.abspath(__file__))
+    context.config = config = {"fold": fold, "patch_size": patch_size}
+
+    input_images = ["flair_time01", "flair_time02"]
+
+    subject_loader = ComposeLoaders([
+        ImageLoader(glob_pattern="flair_time01*", image_name="flair_time01",
+                    image_constructor=ScalarImage),
+        ImageLoader(glob_pattern="flair_time02*", image_name="flair_time02",
+                    image_constructor=ScalarImage),
+        ImageLoader(glob_pattern="brain_mask.*", image_name="brain_mask",
+                    image_constructor=LabelMap, label_values={"brain": 1}),
+        ImageLoader(glob_pattern="ground_truth.*", image_name="ground_truth",
+                    image_constructor=LabelMap, label_values={"lesion": 1}),
+    ])
+
+    cohorts = {}
+    cohorts["all"] = RequireAttributes(input_images)
+    cohorts["validation"] = RandomFoldFilter(num_folds=5, selection=fold,
+                                             seed=0xDEADBEEF)
+    cohorts["training"] = NegateFilter(cohorts["validation"])
+
+    common_transforms_1 = Compose([
+        SetDataType(np.float32),
+        EnforceConsistentAffine(source_image_name="flair_time01"),
+        TargetResample(target_spacing=1, tolerance=0.11),
+        CropToMask("brain_mask"),
+        MinSizePad(config["patch_size"]),
+    ])
+
+    augmentations = Compose([
+        RandomPermuteDimensions(),
+        RandomFlip(axes=(0, 1, 2)),
+        OneOf({
+            RandomElasticDeformation(): 0.2,
+            RandomAffine(scales=0.2, degrees=45, default_pad_value="otsu"): 0.8,
+        }, p=0.75),
+        RandomBiasField(p=0.5),
+        RescaleIntensity((0, 1), (0.01, 99.9)),
+        RandomGamma(p=0.8),
+        RescaleIntensity((-1, 1)),
+        RandomBlur((0, 1), p=0.2),
+        RandomNoise(std=0.1, p=0.35),
+    ])
+
+    common_transforms_2 = Compose([
+        RescaleIntensity((-1, 1.0), (0.05, 99.5)),
+        ConcatenateImages(image_names=["flair_time01", "flair_time02"],
+                          image_channels=[1, 1], new_image_name="X"),
+        RenameProperty(old_name="ground_truth", new_name="y"),
+        CustomOneHot(include="y"),
+    ])
+
+    transforms = {
+        "default": Compose([common_transforms_1, common_transforms_2]),
+        "training": Compose([
+            common_transforms_1,
+            augmentations,
+            common_transforms_2,
+            ImageFromLabels(new_image_name="patch_probability",
+                            label_weights=[("brain_mask", "brain", 1),
+                                           ("y", "lesion", 100)]),
+        ]),
+    }
+
+    context.add_component("dataset", SubjectFolder, root="$DATASET_PATH",
+                          subject_path="", subject_loader=subject_loader,
+                          cohorts=cohorts, transforms=transforms)
+    context.add_component("model", ModularUNet,
+                          in_channels=2, out_channels=2,
+                          filters=list(filters), depth=len(filters),
+                          block_params={"residual": True},
+                          downsample_class=BlurConv3d,
+                          downsample_params={"kernel_size": 3, "stride": 2,
+                                             "padding": 1},
+                          upsample_class=BlurConvTranspose3d,
+                          upsample_params={"kernel_size": 3, "stride": 2,
+                                           "padding": 1, "output_padding": 0})
+    context.add_component("optimizer", SGD, lr=0.001, momentum=0.95)
+    context.add_component("criterion", HybridLogisticDiceLoss,
+                          logistic_class_weights=[1, 100])
+
+    training_evaluators = [
+        ScheduledEvaluation(evaluator=SegmentationEvaluator("y_pred_eval", "y_eval"),
+                            log_name="training_segmentation_eval", interval=15),
+        ScheduledEvaluation(evaluator=LabelMapEvaluator("y_pred_eval"),
+                            log_name="training_label_eval", interval=15),
+        ScheduledEvaluation(evaluator=ContourImageEvaluator(
+            "random", "flair_time02", "y_pred_eval", "y_eval",
+            slice_id=0, legend=True, ncol=2, interesting_slice=True,
+            split_subjects=False),
+            log_name="contour_image", interval=15),
+    ]
+
+    validation_evaluators = [
+        ScheduledEvaluation(evaluator=SegmentationEvaluator("y_pred_eval", "y_eval"),
+                            log_name="segmentation_eval", cohorts=["validation"],
+                            interval=50),
+        ScheduledEvaluation(evaluator=ContourImageEvaluator(
+            "interesting", "flair_time02", "y_pred_eval", "y_eval",
+            slice_id=0, legend=True, ncol=1, interesting_slice=True,
+            split_subjects=True),
+            log_name="contour_image", cohorts=["validation"], interval=50),
+    ]
+
+    def scoring_function(evaluation_dict):
+        # nan-aware lesion Dice: 0/0 (correctly predicted no lesions) -> 1.0,
+        # >0/0 (false positive lesions) -> 0.0 (ref msseg2.py:124-136)
+        seg_eval = evaluation_dict["segmentation_eval"]["validation"]
+        dice = np.asarray(seg_eval["subject_stats"]["dice"], dtype=np.float64)
+        dice = np.nan_to_num(dice, nan=1.0, posinf=0.0)
+        return float(dice.mean())
+
+    train_predictor = StandardPredict(image_names=["X", "y"])
+    validation_predictor = PatchPredict(
+        patch_batch_size=32,
+        patch_size=config["patch_size"],
+        patch_overlap=(config["patch_size"] // 8),
+        padding_mode=None,
+        overlap_mode="average",
+        image_names=["X"])
+
+    patch_sampler = WeightedSampler(patch_size=config["patch_size"],
+                                    probability_map="patch_probability")
+    train_dataloader_factory = PatchDataLoader(max_length=100, samples_per_volume=1,
+                                               sampler=patch_sampler)
+    validation_dataloader_factory = StandardDataLoader(sampler=SequentialSampler)
+
+    context.add_component("trainer", SegmentationTrainer,
+                          training_batch_size=4,
+                          save_rate=100,
+                          scoring_interval=50,
+                          scoring_function=scoring_function,
+                          one_time_evaluators=[],
+                          training_evaluators=training_evaluators,
+                          validation_evaluators=validation_evaluators,
+                          max_iterations_with_no_improvement=2000,
+                          train_predictor=train_predictor,
+                          validation_predictor=validation_predictor,
+                          train_dataloader_factory=train_dataloader_factory,
+                          validation_dataloader_factory=validation_dataloader_factory)
+
+    return context

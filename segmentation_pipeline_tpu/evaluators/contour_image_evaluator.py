@@ -102,6 +102,9 @@ class ContourImageEvaluator(Evaluator):
         for subject in subjects:
             slice_id, plane_i = self._get_slice_id(subject, plane)
             if image_name in subject:
+                _, W, H, D = subject[image_name].data.shape
+                dim = {"Axial": D, "Coronal": H, "Saggital": W}[plane_i]
+                slice_id = min(int(slice_id), dim - 1)  # clamp for small volumes
                 slices.append(np.asarray(slice_volume(
                     subject[image_name].data, 0, self._plane_to_arg(plane_i), slice_id),
                     dtype=np.float32).T)

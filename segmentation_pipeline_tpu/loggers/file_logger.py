@@ -115,3 +115,17 @@ class FileLogger(Logger):
                     self.tb_writer.add_scalar(key, value, self.iteration)
 
         self.iteration += 1
+
+    def close(self):
+        if self.metrics_file is not None:
+            self.metrics_file.close()
+            self.metrics_file = None
+        if self.tb_writer is not None:
+            self.tb_writer.close()
+            self.tb_writer = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -256,6 +256,8 @@ class SegmentationTrainer:
                         for cohort_name in scheduled.cohorts:
                             subject_filter = validation_dataset.cohorts[cohort_name]
                             filtered = subject_filter(validation_subjects)
+                            if not filtered:  # empty cohort: nothing to evaluate
+                                continue
                             cohort_evaluations[cohort_name] = scheduled.evaluator(filtered)
                             timer.stamp(f"evaluation.{scheduled.log_name}.{cohort_name}")
                     elif scheduled.subjects is not None:

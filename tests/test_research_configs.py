@@ -1,0 +1,180 @@
+"""Integration tests for the research experiment configs: build a synthetic
+dmri_hippo-shaped dataset, train a few iterations through the real config,
+run the inference CLI path, then the offline evaluation path."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import segmentation_pipeline_tpu as sp
+from segmentation_pipeline_tpu.loggers import FileLogger
+
+from research.dmri_hippo import evaluate as hippo_evaluate
+from research.dmri_hippo import hippo_inference
+from research.dmri_hippo.configs import augmentation as aug_config
+from research.dmri_hippo.configs import main_config
+from research.msseg2 import msseg2 as msseg2_config
+
+CROP = (32, 24, 8)
+
+
+@pytest.fixture(scope="module")
+def hippo_root(tmp_path_factory):
+    """Synthetic dmri_hippo dataset: 5 subjects, 3 modalities, L/R labels."""
+    root = tmp_path_factory.mktemp("hippo")
+    rng = np.random.default_rng(0)
+    names = [f"cbbrain_{i:03d}" for i in range(4)] + ["ab300_001"]
+    affine = np.eye(4)
+    W, H, D = 36, 28, 10
+
+    union = np.zeros((1, W, H, D), np.int16)
+    union[:, 8:28, 8:20, 2:8] = 1
+    (root / "atlas").mkdir()
+    sp.write_nifti(root / "atlas" / "whole_roi_union.nii.gz", union, affine)
+
+    for i, name in enumerate(names):
+        d = root / "subjects" / name
+        d.mkdir(parents=True)
+        seg = np.zeros((1, W, H, D), np.int16)
+        seg[:, 10:16, 10:16, 3:7] = 1   # left
+        seg[:, 20:26, 10:16, 3:7] = 2   # right
+        base = rng.normal(scale=0.3, size=(1, W, H, D)).astype(np.float32)
+        base[seg > 0] += 2.0
+        for mod in ("mean_dwi", "md", "fa"):
+            sp.write_nifti(d / f"{mod}.nii.gz",
+                           base + rng.normal(scale=0.05, size=base.shape
+                                             ).astype(np.float32), affine)
+        if not name.startswith("ab300"):
+            sp.write_nifti(d / "whole_roi.nii.gz", seg, affine)
+        with open(d / "attributes.json", "w") as f:
+            json.dump({"age": 20 + i, "gender": "M" if i % 2 else "F",
+                       "protocol": "ab300" if name.startswith("ab300") else "cbbrain",
+                       "rescan_id": "None", "pathologies": "None"}, f)
+
+    (root / "attributes").mkdir()
+    with open(root / "attributes" / "cross_validation_split.json", "w") as f:
+        json.dump({f"cbbrain_{i:03d}": {"fold": i % 2} for i in range(4)}, f)
+    with open(root / "attributes" / "ab300_validation_subjects.json", "w") as f:
+        json.dump({"ab300_001": {"ab300_validation": True}}, f)
+    with open(root / "attributes" / "cbbrain_test_subjects.json", "w") as f:
+        json.dump({"cbbrain_003": {"cbbrain_test": True}}, f)
+    return root
+
+
+@pytest.fixture(scope="module")
+def trained_hippo(hippo_root, tmp_path_factory):
+    logs = tmp_path_factory.mktemp("hippo_logs")
+    context = main_config.get_context(
+        variables={"DATASET_PATH": str(hippo_root)}, fold=0,
+        crop_shape=CROP, filters=4, training_batch_size=2)
+    context.init_components()
+    logger = FileLogger(str(logs))
+    context.trainer.train(context, max_iterations=6, logger=logger)
+    return context, logger
+
+
+class TestDmriHippoConfig:
+    def test_cohorts(self, hippo_root):
+        context = main_config.get_context(
+            variables={"DATASET_PATH": str(hippo_root)}, fold=0, crop_shape=CROP,
+            filters=4)
+        context.init_components()
+        ds = context.dataset
+        assert len(ds) == 5
+        ds.set_cohort("training")
+        assert len(ds) == 2  # folds != 0
+        ds.set_cohort("cbbrain_validation")
+        assert len(ds) == 2
+        ds.set_cohort("ab300_validation")
+        assert len(ds) == 1
+
+    def test_transform_pipeline_output(self, hippo_root):
+        context = main_config.get_context(
+            variables={"DATASET_PATH": str(hippo_root)}, fold=0, crop_shape=CROP,
+            filters=4)
+        context.init_components()
+        s = context.dataset.get_cohort_dataset("training")[0]
+        assert s["X"].data.shape == (3, *CROP)
+        assert s["y"].data.shape == (2, *CROP)  # one-hot of L+R merged to 1
+        # L/R remap collapsed right_whole=2 into 1 under the Right mask
+        assert s["y"]["label_values"]["right_whole"] == 1
+
+    def test_training_runs(self, trained_hippo):
+        context, logger = trained_hippo
+        metrics = [json.loads(l) for l in open(logger.run_dir / "metrics.jsonl")]
+        assert len(metrics) == 6
+        assert all(np.isfinite(m["loss"]) for m in metrics)
+        assert "model_score" in metrics[0]
+        # the contour image evaluator produced a montage png at iteration 0
+        images = list((logger.run_dir / "images").glob("*.png"))
+        assert images
+
+    def test_hippo_inference_cli(self, trained_hippo, hippo_root, tmp_path_factory):
+        _, logger = trained_hippo
+        out = tmp_path_factory.mktemp("preds")
+        hippo_inference.main(
+            ensemble_path=logger.run_dir / "checkpoints",
+            dataset_path=str(hippo_root),
+            run_name="testrun",
+            out_folder=str(out),
+            cohort="cbbrain_validation",
+            batch_size=2,
+        )
+        pred_files = list(out.glob("subjects/*/dmri-hippo.nii.gz"))
+        assert len(pred_files) == 2
+        data, _ = sp.read_nifti(pred_files[0])
+        assert data.shape == (1, 36, 28, 10)  # original grid restored
+        assert set(np.unique(data)) <= {0, 1, 2}
+        assert (out / "testrun.json").exists()
+
+    def test_evaluate_cli(self, trained_hippo, hippo_root, tmp_path_factory):
+        _, logger = trained_hippo
+        out = tmp_path_factory.mktemp("preds2")
+        hippo_inference.main(
+            ensemble_path=logger.run_dir / "checkpoints",
+            dataset_path=str(hippo_root), run_name="testrun",
+            out_folder=str(out), cohort="cbbrain_validation", batch_size=2)
+        results = hippo_evaluate.main(
+            ground_truth_path=str(hippo_root), predictions_path=str(out),
+            cohort_mode="validation")
+        assert "testrun" in results
+        assert "segmentation_eval/cbbrain_validation" in results["testrun"]
+
+    def test_augmentation_modes(self, hippo_root):
+        for mode, expected_len in [("no_augmentation", 2), ("standard", 3),
+                                   ("combined", 3)]:
+            context = aug_config.get_context(
+                variables={"DATASET_PATH": str(hippo_root)},
+                augmentation_mode=mode, fold=0, crop_shape=CROP, filters=4)
+            training = context.get_component_definition(
+                "dataset")["params"]["transforms"]["training"]
+            assert len(training.transforms) == expected_len
+
+
+class TestMsseg2Config:
+    def test_context_builds_and_samples(self, tmp_path):
+        rng = np.random.default_rng(1)
+        for i in range(2):
+            d = tmp_path / f"sub{i}"
+            d.mkdir()
+            img = rng.normal(size=(1, 24, 24, 24)).astype(np.float32)
+            seg = np.zeros((1, 24, 24, 24), np.int16)
+            seg[:, 8:14, 8:14, 8:14] = 1
+            mask = np.ones_like(seg)
+            sp.write_nifti(d / "flair_time01.nii.gz", img, np.eye(4))
+            sp.write_nifti(d / "flair_time02.nii.gz", img + 0.1, np.eye(4))
+            sp.write_nifti(d / "brain_mask.nii.gz", mask, np.eye(4))
+            sp.write_nifti(d / "ground_truth.nii.gz", seg, np.eye(4))
+
+        context = msseg2_config.get_context(
+            variables={"DATASET_PATH": str(tmp_path)}, fold=0,
+            patch_size=16, filters=(4, 4, 8))
+        context.init_components()
+        ds = context.dataset.get_cohort_dataset("training")
+        loader = context.trainer.train_dataloader_factory.get_data_loader(
+            dataset=ds, batch_size=2)
+        batch = next(iter(loader))
+        assert batch[0]["X"].data.shape[0] == 2  # two timepoints concat
+        assert batch[0]["X"].spatial_shape == (16, 16, 16)
+        assert "location" in batch[0]
