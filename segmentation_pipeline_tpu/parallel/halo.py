@@ -1,0 +1,154 @@
+"""Spatial sharding: halo exchange + distributed whole-volume inference.
+
+The 3D-segmentation counterpart of sequence/context parallelism (SURVEY §2.4):
+volumes too large for one chip are sharded spatially across the mesh.  Two
+mechanisms:
+
+- ``halo_exchange`` / ``sharded_conv3d``: shard the W axis across devices and
+  exchange conv receptive-field halos with ``lax.ppermute`` — the building
+  block for running stencils directly on sharded volumes.
+- ``distributed_sliding_window``: shard the sliding-window *patch grid*
+  across devices (patches are independent), each device overlap-adds its
+  share into a local accumulator, and a single ``psum`` merges them — this
+  replaces the reference's host-side GridSampler loop (prediction.py:131-147)
+  with one SPMD XLA program over the mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.sliding_window import grid_locations, hann_window
+
+
+def halo_exchange(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Inside shard_map: x is the local (W_local, ...) shard; returns
+    (W_local + 2*halo, ...) with neighbor halos (zero-padded at the ends).
+
+    Left neighbor's last ``halo`` rows are prepended; right neighbor's first
+    ``halo`` rows appended — one bidirectional ppermute pair over ICI.
+    """
+    n = lax.psum(1, axis_name)
+    idx = lax.axis_index(axis_name)
+
+    send_right = x[-halo:]
+    send_left = x[:halo]
+    from_left = lax.ppermute(send_right, axis_name,
+                             [(i, i + 1) for i in range(n - 1)])
+    from_right = lax.ppermute(send_left, axis_name,
+                              [(i + 1, i) for i in range(n - 1)])
+    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
+    from_right = jnp.where(idx == n - 1, jnp.zeros_like(from_right), from_right)
+    return jnp.concatenate([from_left, x, from_right], axis=0)
+
+
+def sharded_conv3d(x: jax.Array, kernel: jax.Array, mesh: Mesh,
+                   axis_name: str = "data") -> jax.Array:
+    """3^3/s1/p1 conv over a volume whose W axis is sharded across the mesh:
+    halo exchange + local conv, numerically identical to the unsharded conv.
+
+    x: (W, H, D, Cin) global; returns (W, H, D, Cout) with the same sharding.
+    """
+    from ..ops.convolution import DIMENSION_NUMBERS
+
+    def local_conv(x_local, kernel):
+        x_halo = halo_exchange(x_local, 1, axis_name)
+        x_b = x_halo[None]
+        out = lax.conv_general_dilated(
+            x_b, kernel, window_strides=(1, 1, 1),
+            padding=((0, 0), (1, 1), (1, 1)),
+            dimension_numbers=DIMENSION_NUMBERS,
+            preferred_element_type=jnp.float32)
+        return out[0]
+
+    fn = shard_map(local_conv, mesh=mesh,
+                   in_specs=(P(axis_name), P()),
+                   out_specs=P(axis_name))
+    return fn(x, kernel)
+
+
+def distributed_sliding_window(
+    volume_cf: jax.Array,
+    model_fn: Callable[[jax.Array], jax.Array],
+    patch_size,
+    patch_overlap=(0, 0, 0),
+    patch_batch: int = 1,
+    mode: str = "average",
+    mesh: Mesh = None,
+    axis_name: str = "data",
+    out_channels: int = None,
+) -> jax.Array:
+    """Whole-volume sliding-window inference with the patch grid sharded
+    across the mesh. volume_cf: (C, W, H, D); model_fn maps channels-last
+    patch batches. Returns (C_out, W, H, D) on the host sharding layout.
+    """
+    if isinstance(patch_size, int):
+        patch_size = (patch_size,) * 3
+    if isinstance(patch_overlap, int):
+        patch_overlap = (patch_overlap,) * 3
+    patch_size = tuple(int(p) for p in patch_size)
+
+    volume = jnp.moveaxis(jnp.asarray(volume_cf, jnp.float32), 0, -1)
+    spatial = volume.shape[:3]
+    locations = grid_locations(spatial, patch_size, patch_overlap)
+
+    n_dev = mesh.shape[axis_name]
+    # pad the location list so every device gets the same count (duplicates
+    # are harmless under weighted averaging: acc and div accumulate equally)
+    per_dev = -(-len(locations) // n_dev)
+    total = per_dev * n_dev
+    reps = np.concatenate([locations,
+                           np.repeat(locations[-1:], total - len(locations), 0)])
+    locations_sharded = reps.reshape(n_dev * per_dev, 3).astype(np.int32)
+
+    if out_channels is None:
+        probe = jax.eval_shape(model_fn, jax.ShapeDtypeStruct(
+            (1, *patch_size, volume.shape[3]), jnp.float32))
+        out_channels = probe.shape[-1]
+
+    pw, ph, pd = patch_size
+    W, H, D = spatial
+
+    if mode == "hann":
+        weight = jnp.asarray(hann_window(patch_size))[..., None]
+    else:
+        weight = jnp.ones((pw, ph, pd, 1), jnp.float32)
+
+    def local_work(volume, locs):
+        # volume replicated; locs: (per_dev, 3) local shard
+        acc = jnp.zeros((W, H, D, out_channels), jnp.float32)
+        div = jnp.zeros((W, H, D, 1), jnp.float32)
+        # mark as device-varying so the scan carry type matches the body
+        # output (locs differ per device)
+        acc = lax.pvary(acc, (axis_name,))
+        div = lax.pvary(div, (axis_name,))
+
+        def body(carry, loc):
+            acc, div = carry
+            patch = lax.dynamic_slice(volume, (loc[0], loc[1], loc[2], 0),
+                                      (pw, ph, pd, volume.shape[3]))
+            pred = model_fn(patch[None])[0]
+            start = (loc[0], loc[1], loc[2], 0)
+            cur = lax.dynamic_slice(acc, start, (pw, ph, pd, out_channels))
+            acc = lax.dynamic_update_slice(acc, cur + pred * weight, start)
+            curd = lax.dynamic_slice(div, start, (pw, ph, pd, 1))
+            div = lax.dynamic_update_slice(div, curd + weight, start)
+            return (acc, div), None
+
+        (acc, div), _ = lax.scan(body, (acc, div), locs)
+        acc = lax.psum(acc, axis_name)
+        div = lax.psum(div, axis_name)
+        return acc / jnp.maximum(div, 1e-8)
+
+    fn = shard_map(local_work, mesh=mesh,
+                   in_specs=(P(), P(axis_name)),
+                   out_specs=P())
+    out = jax.jit(fn)(volume, jnp.asarray(locations_sharded))
+    return jnp.moveaxis(out, -1, 0)
