@@ -20,10 +20,11 @@ from .labeled_tensor import LabeledTensor
 
 def connected_components(mask: np.ndarray, connectivity: int = 2):
     """Label a 3-D boolean mask; connectivity in {1, 2, 3} = 6/18/26
-    neighborhood (skimage convention)."""
-    structure = ndi.generate_binary_structure(3, connectivity)
-    labels, num = ndi.label(mask, structure=structure)
-    return labels, num
+    neighborhood (skimage convention). Uses the native C++ union-find
+    labeler (scipy fallback inside)."""
+    from ..native import connected_components_native
+
+    return connected_components_native(mask, connectivity)
 
 
 def overlap_histogram(target_components: np.ndarray, pred_components: np.ndarray,

@@ -1,0 +1,260 @@
+"""Fused, batched, on-device augmentation kernels.
+
+The reference runs all augmentation per-subject on CPU dataloader workers
+(SURVEY §3.1 hot loop); here the same family of stochastic transforms
+(flip, affine, elastic, bias field, gamma, noise, blur, rescale — the
+main_config.py:86-100 / msseg2.py:44-57 pipelines) is expressed as pure jax
+functions over channels-last batches (N, W, H, D, C) with explicit PRNG keys.
+Composed under one jit, XLA fuses the elementwise chain and the warp gathers
+into a single device program — the "transforms fuse into batched
+preprocessing" design of BASELINE.json.  Labels ride along with nearest-
+neighbor warps so segmentation targets stay crisp.
+
+Parity with the host transforms is distributional (explicit keys vs the
+reference's unseeded global RNG).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# sampling helpers
+# ---------------------------------------------------------------------------
+
+def trilinear_sample(volume: jnp.ndarray, coords: jnp.ndarray,
+                     nearest: bool = False) -> jnp.ndarray:
+    """Sample (W, H, D, C) at fractional coords (3, w, h, d) with edge clamp.
+    nearest=True for label volumes."""
+    W, H, D, _ = volume.shape
+    cw = jnp.clip(coords[0], 0, W - 1)
+    ch = jnp.clip(coords[1], 0, H - 1)
+    cd = jnp.clip(coords[2], 0, D - 1)
+
+    if nearest:
+        iw = jnp.rint(cw).astype(jnp.int32)
+        ih = jnp.rint(ch).astype(jnp.int32)
+        id_ = jnp.rint(cd).astype(jnp.int32)
+        return volume[iw, ih, id_]
+
+    w0 = jnp.floor(cw).astype(jnp.int32)
+    h0 = jnp.floor(ch).astype(jnp.int32)
+    d0 = jnp.floor(cd).astype(jnp.int32)
+    w1 = jnp.minimum(w0 + 1, W - 1)
+    h1 = jnp.minimum(h0 + 1, H - 1)
+    d1 = jnp.minimum(d0 + 1, D - 1)
+    fw = (cw - w0)[..., None]
+    fh = (ch - h0)[..., None]
+    fd = (cd - d0)[..., None]
+
+    def g(a, b, c):
+        return volume[a, b, c]
+
+    out = ((g(w0, h0, d0) * (1 - fw) * (1 - fh) * (1 - fd))
+           + g(w1, h0, d0) * fw * (1 - fh) * (1 - fd)
+           + g(w0, h1, d0) * (1 - fw) * fh * (1 - fd)
+           + g(w0, h0, d1) * (1 - fw) * (1 - fh) * fd
+           + g(w1, h1, d0) * fw * fh * (1 - fd)
+           + g(w1, h0, d1) * fw * (1 - fh) * fd
+           + g(w0, h1, d1) * (1 - fw) * fh * fd
+           + g(w1, h1, d1) * fw * fh * fd)
+    return out
+
+
+def _identity_coords(spatial: Tuple[int, int, int]) -> jnp.ndarray:
+    grids = jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) for s in spatial],
+                         indexing="ij")
+    return jnp.stack(grids)  # (3, W, H, D)
+
+
+# ---------------------------------------------------------------------------
+# per-sample stochastic ops (vmapped over the batch by augment_batch)
+# ---------------------------------------------------------------------------
+
+def random_flip(key, x, y, axes=(0, 1, 2), flip_probability=0.5):
+    """Independent per-axis flips applied consistently to image and label."""
+    draws = jax.random.uniform(key, (3,))
+    for axis in axes:
+        do = draws[axis] < flip_probability
+        x = lax.cond(do, lambda v: jnp.flip(v, axis=axis), lambda v: v, x)
+        if y is not None:
+            y = lax.cond(do, lambda v: jnp.flip(v, axis=axis), lambda v: v, y)
+    return x, y
+
+
+def random_affine_warp(key, x, y, scales=0.2, degrees=45.0, pad_value=0.0):
+    """Random rotation+scale about the volume center (tio.RandomAffine
+    semantics: scale U(1-s, 1+s), angles U(-d, d) per axis)."""
+    k1, k2 = jax.random.split(key)
+    scale = jax.random.uniform(k1, (3,), minval=1 - scales, maxval=1 + scales)
+    angles = jnp.deg2rad(jax.random.uniform(k2, (3,), minval=-degrees,
+                                            maxval=degrees))
+    cx, cy, cz = jnp.cos(angles)
+    sx, sy, sz = jnp.sin(angles)
+    Rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    A = Rx @ Ry @ Rz @ jnp.diag(scale)
+
+    spatial = x.shape[:3]
+    center = (jnp.array(spatial, jnp.float32) - 1) / 2
+    coords = _identity_coords(spatial)  # (3, W, H, D)
+    rel = coords - center[:, None, None, None]
+    warped = jnp.einsum("ij,jwhd->iwhd", A, rel) + center[:, None, None, None]
+
+    x_out = trilinear_sample(x, warped)
+    # pad: out-of-bounds got edge-clamped; mask them to pad_value
+    oob = ((warped < 0) | (warped > (jnp.array(spatial, jnp.float32) - 1)[
+        :, None, None, None])).any(axis=0)
+    x_out = jnp.where(oob[..., None], pad_value, x_out)
+    y_out = None
+    if y is not None:
+        y_out = trilinear_sample(y, warped, nearest=True)
+        y_out = jnp.where(oob[..., None], 0.0, y_out)
+    return x_out, y_out
+
+
+def random_elastic_warp(key, x, y, num_control_points=(7, 7, 7),
+                        max_displacement=7.5, locked_borders=1):
+    """B-spline-style free-form deformation: coarse random control grid
+    upsampled (cubic via repeated linear for TPU-friendliness) to a dense
+    displacement field (tio.RandomElasticDeformation semantics)."""
+    spatial = x.shape[:3]
+    grid = jax.random.uniform(key, (3, *num_control_points),
+                              minval=-max_displacement, maxval=max_displacement)
+    if locked_borders:
+        lb = locked_borders
+        mask = jnp.zeros(num_control_points, bool)
+        mask = mask.at[lb:-lb, lb:-lb, lb:-lb].set(True)
+        grid = grid * mask[None]
+
+    # upsample control grid to dense field with two-stage linear resize
+    # (smooth enough for augmentation; exact b-spline lives on the host path)
+    field = jax.image.resize(grid, (3, *spatial), method="cubic")
+    coords = _identity_coords(spatial) + field
+
+    x_out = trilinear_sample(x, coords)
+    y_out = trilinear_sample(y, coords, nearest=True) if y is not None else None
+    return x_out, y_out
+
+
+def random_bias_field(key, x, coefficients=0.5, order=3):
+    """Multiplicative exp-polynomial bias field (tio.RandomBiasField)."""
+    spatial = x.shape[:3]
+    n_coeff = sum(1 for i in range(order + 1) for j in range(order + 1 - i)
+                  for k in range(order + 1 - i - j))
+    coeffs = jax.random.uniform(key, (n_coeff,), minval=-coefficients,
+                                maxval=coefficients)
+    xs = jnp.linspace(-1, 1, spatial[0])[:, None, None]
+    ys = jnp.linspace(-1, 1, spatial[1])[None, :, None]
+    zs = jnp.linspace(-1, 1, spatial[2])[None, None, :]
+    field = jnp.zeros(spatial, jnp.float32)
+    idx = 0
+    for i in range(order + 1):
+        for j in range(order + 1 - i):
+            for k in range(order + 1 - i - j):
+                field = field + coeffs[idx] * (xs ** i) * (ys ** j) * (zs ** k)
+                idx += 1
+    return x * jnp.exp(field)[..., None]
+
+
+def random_gamma(key, x, log_gamma=(-0.3, 0.3)):
+    gamma = jnp.exp(jax.random.uniform(key, (), minval=log_gamma[0],
+                                       maxval=log_gamma[1]))
+    return jnp.sign(x) * jnp.abs(x) ** gamma
+
+
+def random_noise(key, x, std=0.1):
+    k1, k2 = jax.random.split(key)
+    sigma = jax.random.uniform(k1, (), minval=0.0, maxval=std)
+    return x + sigma * jax.random.normal(k2, x.shape, x.dtype)
+
+
+def rescale_intensity(x, out_min=-1.0, out_max=1.0,
+                      percentiles=(0.0, 100.0)):
+    lo = jnp.percentile(x, percentiles[0])
+    hi = jnp.percentile(x, percentiles[1])
+    x = jnp.clip(x, lo, hi)
+    scale = jnp.where(hi - lo > 1e-12, (out_max - out_min) / (hi - lo), 0.0)
+    return (x - lo) * scale + out_min
+
+
+# ---------------------------------------------------------------------------
+# fused pipeline
+# ---------------------------------------------------------------------------
+
+DEFAULT_CONFIG = dict(
+    flip_axes=(0, 1, 2),
+    affine_p=0.6, affine_scales=0.2, affine_degrees=45.0,
+    elastic_p=0.0, elastic_max_displacement=7.5,
+    bias_p=0.5, bias_coefficients=0.5,
+    gamma_p=0.8, log_gamma=(-0.3, 0.3),
+    noise_p=0.35, noise_std=0.1,
+    rescale=(-1.0, 1.0), rescale_percentiles=(0.5, 99.5),
+)
+
+
+def _augment_one(key, x, y, cfg: Dict):
+    keys = jax.random.split(key, 8)
+    x, y = random_flip(keys[0], x, y, axes=cfg["flip_axes"])
+
+    if cfg["affine_p"] > 0:
+        do = jax.random.uniform(keys[1]) < cfg["affine_p"]
+        x2, y2 = random_affine_warp(keys[2], x, y, cfg["affine_scales"],
+                                    cfg["affine_degrees"])
+        x = jnp.where(do, x2, x)
+        y = jnp.where(do, y2, y) if y is not None else None
+
+    if cfg["elastic_p"] > 0:
+        do = jax.random.uniform(keys[3]) < cfg["elastic_p"]
+        x2, y2 = random_elastic_warp(keys[3], x, y,
+                                     max_displacement=cfg["elastic_max_displacement"])
+        x = jnp.where(do, x2, x)
+        y = jnp.where(do, y2, y) if y is not None else None
+
+    if cfg["bias_p"] > 0:
+        do = jax.random.uniform(keys[4]) < cfg["bias_p"]
+        x = jnp.where(do, random_bias_field(keys[4], x, cfg["bias_coefficients"]), x)
+
+    x = rescale_intensity(x, 0.0, 1.0, (0.01, 99.9))
+    if cfg["gamma_p"] > 0:
+        do = jax.random.uniform(keys[5]) < cfg["gamma_p"]
+        x = jnp.where(do, random_gamma(keys[5], x, cfg["log_gamma"]), x)
+    x = rescale_intensity(x, -1.0, 1.0)
+
+    if cfg["noise_p"] > 0:
+        do = jax.random.uniform(keys[6]) < cfg["noise_p"]
+        x = jnp.where(do, random_noise(keys[6], x, cfg["noise_std"]), x)
+
+    x = rescale_intensity(x, *cfg["rescale"], cfg["rescale_percentiles"])
+    return x, y
+
+
+@partial(jax.jit, static_argnames=("config_items",))
+def _augment_batch_jit(key, X, y, config_items):
+    cfg = dict(config_items)
+    keys = jax.random.split(key, X.shape[0])
+    if y is None:
+        fn = lambda k, x: _augment_one(k, x, None, cfg)[0]  # noqa: E731
+        return jax.vmap(fn)(keys, X), None
+    return jax.vmap(lambda k, x, t: _augment_one(k, x, t, cfg))(keys, X, y)
+
+
+def augment_batch(key, X: jnp.ndarray, y: Optional[jnp.ndarray] = None,
+                  config: Optional[Dict] = None):
+    """One fused device program augmenting a channels-last batch.
+
+    X: (N, W, H, D, C) float; y: optional (N, W, H, D, C_label) one-hot or
+    int-channel labels (warped nearest-neighbor).  Returns (X', y').
+    """
+    cfg = dict(DEFAULT_CONFIG)
+    if config:
+        cfg.update(config)
+    items = tuple(sorted((k, tuple(v) if isinstance(v, (list, tuple)) else v)
+                         for k, v in cfg.items()))
+    return _augment_batch_jit(key, X, y, items)

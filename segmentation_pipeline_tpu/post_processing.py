@@ -15,18 +15,21 @@ from __future__ import annotations
 import numpy as np
 from scipy import ndimage as ndi
 
-_LABEL_STRUCTURE = ndi.generate_binary_structure(3, 3)   # 26-connectivity
+from .native import connected_components_native, grey_dilation_native
+
 _DILATE_FOOTPRINT = ndi.generate_binary_structure(3, 1)  # 6-neighborhood cross
 
 
 def _label(img: np.ndarray) -> np.ndarray:
-    labels, _ = ndi.label(img > 0, structure=_LABEL_STRUCTURE)
+    # native C++ union-find (26-connectivity, skimage label default);
+    # scipy fallback inside when no compiler is available
+    labels, _ = connected_components_native(img > 0, connectivity=3)
     return labels
 
 
 def _dilate_labels(img: np.ndarray) -> np.ndarray:
     """Grey dilation with the cross footprint (skimage dilation default)."""
-    return ndi.grey_dilation(img, footprint=_DILATE_FOOTPRINT)
+    return grey_dilation_native(img)
 
 
 def _remove_small_holes(mask: np.ndarray, hole_size: int) -> np.ndarray:

@@ -1,0 +1,84 @@
+"""Fused on-device augmentation tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segmentation_pipeline_tpu.ops.augment import (
+    augment_batch,
+    random_affine_warp,
+    random_bias_field,
+    random_flip,
+    rescale_intensity,
+    trilinear_sample,
+)
+
+
+class TestTrilinearSample:
+    def test_identity_coords(self):
+        rng = np.random.default_rng(0)
+        vol = jnp.asarray(rng.normal(size=(8, 6, 5, 2)).astype(np.float32))
+        coords = jnp.stack(jnp.meshgrid(
+            jnp.arange(8.0), jnp.arange(6.0), jnp.arange(5.0), indexing="ij"))
+        out = trilinear_sample(vol, coords)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-6)
+
+    def test_half_offset_interpolates(self):
+        vol = jnp.arange(8, dtype=jnp.float32).reshape(8, 1, 1, 1)
+        coords = jnp.array([[[[2.5]]], [[[0.0]]], [[[0.0]]]])
+        out = trilinear_sample(vol, coords)
+        assert abs(float(out[0, 0, 0, 0]) - 2.5) < 1e-6
+
+
+class TestOps:
+    def test_flip_consistent_image_label(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(6, 6, 6, 1)).astype(np.float32))
+        y = (x > 0).astype(jnp.float32)
+        x2, y2 = random_flip(jax.random.PRNGKey(0), x, y, flip_probability=1.0)
+        np.testing.assert_array_equal(np.asarray(x2 > 0), np.asarray(y2 > 0))
+
+    def test_affine_identityish(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(8, 8, 8, 1)).astype(np.float32))
+        x2, _ = random_affine_warp(jax.random.PRNGKey(0), x, None,
+                                   scales=0.0, degrees=0.0)
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+
+    def test_bias_field_positive(self):
+        x = jnp.ones((8, 8, 8, 1))
+        out = random_bias_field(jax.random.PRNGKey(3), x)
+        assert (np.asarray(out) > 0).all()
+        assert np.asarray(out).std() > 0
+
+    def test_rescale(self):
+        x = jnp.asarray(np.random.default_rng(4).normal(size=(8, 8, 8, 1)))
+        out = np.asarray(rescale_intensity(x, -1, 1))
+        assert out.min() >= -1 - 1e-6 and out.max() <= 1 + 1e-6
+
+
+class TestAugmentBatch:
+    def test_shapes_and_label_integrity(self):
+        rng = np.random.default_rng(5)
+        X = jnp.asarray(rng.normal(size=(2, 16, 16, 8, 3)).astype(np.float32))
+        labels = (np.asarray(X[..., :1]) > 0).astype(np.float32)
+        y = jnp.asarray(np.concatenate([1 - labels, labels], axis=-1))
+        X2, y2 = augment_batch(jax.random.PRNGKey(0), X, y)
+        assert X2.shape == X.shape and y2.shape == y.shape
+        vals = np.unique(np.asarray(y2))
+        assert set(np.round(vals, 6)) <= {0.0, 1.0}  # labels stay crisp
+        assert np.asarray(X2).min() >= -1 - 1e-5
+
+    def test_deterministic_given_key(self):
+        X = jnp.asarray(np.random.default_rng(6).normal(
+            size=(2, 8, 8, 8, 1)).astype(np.float32))
+        a, _ = augment_batch(jax.random.PRNGKey(7), X)
+        b, _ = augment_batch(jax.random.PRNGKey(7), X)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c, _ = augment_batch(jax.random.PRNGKey(8), X)
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    def test_per_sample_independence(self):
+        X = jnp.asarray(np.tile(np.random.default_rng(9).normal(
+            size=(1, 8, 8, 8, 1)).astype(np.float32), (2, 1, 1, 1, 1)))
+        out, _ = augment_batch(jax.random.PRNGKey(1), X)
+        assert not np.array_equal(np.asarray(out[0]), np.asarray(out[1]))
