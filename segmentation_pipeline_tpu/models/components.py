@@ -44,7 +44,7 @@ class Conv3d(nn.Module):
         k = _triple(self.kernel_size)
         cin = x.shape[-1]
         kernel = self.param("kernel", torch_conv_kernel_init, (*k, cin, self.features))
-        y = conv3d(x, kernel, stride=self.stride, padding=self.padding)
+        y = conv3d(x, kernel.astype(x.dtype), stride=self.stride, padding=self.padding)
         if self.use_bias:
             fan_in = cin * k[0] * k[1] * k[2]
             bound = 1.0 / jnp.sqrt(fan_in)
@@ -75,7 +75,7 @@ class WSConv3d(nn.Module):
         n = kernel.shape[0] * kernel.shape[1] * kernel.shape[2] * kernel.shape[3]
         var = ((kernel - mean) ** 2).sum(axis=(0, 1, 2, 3), keepdims=True) / max(n - 1, 1)
         kernel = (kernel - mean) / (jnp.sqrt(var) + 1e-5)
-        y = conv3d(x, kernel, stride=self.stride, padding=self.padding)
+        y = conv3d(x, kernel.astype(x.dtype), stride=self.stride, padding=self.padding)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
@@ -119,7 +119,7 @@ class BlurConv3d(nn.Module):
             var = ((kernel - mean) ** 2).sum(axis=(0, 1, 2, 3), keepdims=True) / max(n - 1, 1)
             kernel = (kernel - mean) / (jnp.sqrt(var) + 1e-5)
         scale = 1.0 / (8.0 * (s[0] * s[1] * s[2]))
-        blurred = _blur_weight(kernel, scale)
+        blurred = _blur_weight(kernel, scale).astype(x.dtype)
         y = conv3d(x, blurred, stride=self.stride, padding=self.padding)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -151,7 +151,7 @@ class BlurConvTranspose3d(nn.Module):
             var = ((kernel - mean) ** 2).sum(axis=(0, 1, 2, 3), keepdims=True) / max(n - 1, 1)
             kernel = (kernel - mean) / (jnp.sqrt(var) + 1e-5)
         scale = (s[0] * s[1] * s[2]) / 8.0
-        blurred = _blur_weight(kernel, scale)
+        blurred = _blur_weight(kernel, scale).astype(x.dtype)
         y = conv_transpose3d(x, blurred, stride=self.stride, padding=self.padding,
                              output_padding=self.output_padding)
         if self.use_bias:
@@ -181,7 +181,7 @@ class Block3d(nn.Module):
             x = self.conv_class(features=self.features, **conv_params)(x)
             if self.use_norm:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, axis_name=None)(x)
+                                 epsilon=1e-5, axis_name=None, dtype=x.dtype)(x)
             x = self.activation(x)
         if self.residual:
             x = Conv3d(features=self.features, kernel_size=3, padding=1, use_bias=True,

@@ -61,12 +61,16 @@ def conv3d(
         out = pallas_conv3d(x, kernel, stride, padding)
         if out is not None:
             return out
+    # bf16 inputs keep bf16 outputs (f32 preferred type breaks the conv
+    # transpose rule under AD: f32 cotangent vs bf16 kernel); the MXU still
+    # accumulates in f32 internally.
+    preferred = preferred_dtype if x.dtype == jnp.float32 else None
     return lax.conv_general_dilated(
         x, kernel,
         window_strides=stride,
         padding=pad,
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=preferred,
     )
 
 
@@ -90,13 +94,14 @@ def conv_transpose3d(
     k = kernel.shape[:3]
     flipped = jnp.flip(kernel, axis=(0, 1, 2))
     pad = [(kd - 1 - p, kd - 1 - p + op) for kd, p, op in zip(k, padding, output_padding)]
+    preferred = preferred_dtype if x.dtype == jnp.float32 else None
     return lax.conv_general_dilated(
         x, flipped,
         window_strides=(1, 1, 1),
         padding=pad,
         lhs_dilation=stride,
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=preferred,
     )
 
 
