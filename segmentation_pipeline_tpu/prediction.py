@@ -110,6 +110,9 @@ class PatchPredict(Predictor):
 
     def predict(self, model, subjects, label_attributes=None):
         mode = "average" if self.overlap_mode == "average" else self.overlap_mode
+        patch_size = self.patch_size
+        if isinstance(patch_size, int):
+            patch_size = (patch_size,) * 3
 
         def model_fn(patches_cl):
             # channels-last patches -> model wrapper speaks channel-first
@@ -120,11 +123,25 @@ class PatchPredict(Predictor):
         preds = []
         for subject in subjects:
             volume = np.asarray(subject["X"].data)
+            # pad volumes smaller than the patch (tio.GridSampler padding_mode)
+            spatial = volume.shape[1:]
+            pad = [(0, 0)] + [(0, max(0, p - s)) for p, s in zip(patch_size, spatial)]
+            padded = any(p[1] for p in pad)
+            if padded:
+                if self.padding_mode in (None, 0):
+                    volume = np.pad(volume, pad)
+                elif self.padding_mode == "edge":
+                    volume = np.pad(volume, pad, mode="edge")
+                else:
+                    volume = np.pad(volume, pad, mode="constant",
+                                    constant_values=float(self.padding_mode))
             y_pred = sliding_window_inference(
-                volume, model_fn, patch_size=self.patch_size,
+                volume, model_fn, patch_size=patch_size,
                 patch_overlap=self.patch_overlap,
                 patch_batch=self.patch_batch_size, mode=mode)
             y_np = np.asarray(y_pred)
+            if padded:
+                y_np = y_np[:, :spatial[0], :spatial[1], :spatial[2]]
             preds.append(y_np)
             out_subjects.append(_attach_prediction(subject, y_np, label_attributes))
 
