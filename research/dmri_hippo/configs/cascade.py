@@ -8,6 +8,7 @@ from segmentation_pipeline_tpu import (
     BlurConv3d,
     BlurConvTranspose3d,
     CustomOneHot,
+    CustomRemapLabels,
     ImageLoader,
     LabelMap,
     ModularUNet,
@@ -38,10 +39,15 @@ def get_context(device=None, variables=None, prior_label_name="standard",
             label_values={"left_whole": 1, "right_whole": 2}))
 
     default_transform = dataset_defn["params"]["transforms"]["default"]
-    _, common_transforms_2 = default_transform.transforms
+    common_transforms_1, common_transforms_2 = default_transform.transforms
     # y_prior flows through the spatial preprocessing automatically (our
-    # transforms apply to all images when include is None); it only needs
-    # its own one-hot at the end.
+    # transforms apply to all images when include is None).  Like whole_roi,
+    # it needs the hemisphere remap (right_whole 2 -> 1 under the Right mask)
+    # so its one-hot matches the model's C=2 transition head — the intent of
+    # ref cascade.py:41 (whose include-append would not execute in torchio).
+    common_transforms_1.transforms.append(
+        CustomRemapLabels(remapping=[("right_whole", 2, 1)],
+                          masking_method="Right", include=["y_prior"]))
     common_transforms_2.transforms += [CustomOneHot(include=["y_prior"])]
 
     output_channels = 4 if kwargs.get("predict_hbt") else 2

@@ -141,7 +141,10 @@ def get_context(device=None, variables=None, fold=0, patch_size=96,
                                              "padding": 1},
                           upsample_class=BlurConvTranspose3d,
                           upsample_params={"kernel_size": 3, "stride": 2,
-                                           "padding": 1, "output_padding": 0})
+                                           "padding": 1, "output_padding": 0},
+                          # remat blocks: batch-4 96^3 depth-6 training does
+                          # not fit v5e HBM without rematerialization
+                          remat=True)
     context.add_component("optimizer", SGD, lr=0.001, momentum=0.95)
     context.add_component("criterion", HybridLogisticDiceLoss,
                           logistic_class_weights=[1, 100])

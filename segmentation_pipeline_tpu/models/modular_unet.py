@@ -64,6 +64,9 @@ class ModularUNet(nn.Module):
     out_conv_params: Optional[Dict] = None
     hypothesis_class: Any = Softmax
     hypothesis_params: Optional[Dict] = None
+    remat: bool = False
+    """Rematerialize blocks under grad (jax.checkpoint): trades recompute for
+    activation memory — needed to fit batch-4 96^3 depth-6 training in HBM."""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -76,8 +79,11 @@ class ModularUNet(nn.Module):
 
         block_params = self.block_params or {}
 
+        block_class = (nn.remat(self.block_class, static_argnums=(2,))
+                       if self.remat else self.block_class)
+
         down_blocks = [
-            self.block_class(features=filters[i],
+            block_class(features=filters[i],
                              **_map_params(self.block_class, block_params, None),
                              name=f"down_block_{i}")
             for i in range(self.depth)
@@ -89,7 +95,7 @@ class ModularUNet(nn.Module):
             for i in range(self.depth - 1)
         ]
         up_blocks = [
-            self.block_class(features=filters[i],
+            block_class(features=filters[i],
                              **_map_params(self.block_class, block_params, None),
                              name=f"up_block_{i}")
             for i in range(self.depth - 1)

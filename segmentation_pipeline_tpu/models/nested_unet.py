@@ -26,11 +26,16 @@ class NestedResUNet(nn.Module):
     dropout_p: float = 0.0
     hypothesis_class: Any = Softmax
     hypothesis_params: Optional[Dict] = None
+    remat: bool = False
+    """Rematerialize blocks under grad (jax.checkpoint) to cut activation
+    memory at the cost of recompute."""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.filters
-        block = lambda residual, name: Block3d(  # noqa: E731
+        block_cls = (nn.remat(Block3d, static_argnums=(2,))
+                     if self.remat else Block3d)
+        block = lambda residual, name: block_cls(  # noqa: E731
             features=f, residual=residual, dropout_p=self.dropout_p, name=name)
         down = lambda t: avg_pool3d(t, 2, 2)  # noqa: E731
         up = lambda t: upsample_trilinear2x(t, align_corners=True)  # noqa: E731

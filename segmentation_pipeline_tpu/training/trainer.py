@@ -74,7 +74,7 @@ class SegmentationTrainer:
                  train_predictor: Predictor, validation_predictor: Predictor,
                  train_dataloader_factory: DataLoaderFactory,
                  validation_dataloader_factory: DataLoaderFactory,
-                 mesh=None):
+                 mesh=None, device_augmentation: Optional[dict] = None):
         self.training_batch_size = training_batch_size
         self.save_rate = save_rate
         self.scoring_interval = scoring_interval
@@ -88,6 +88,9 @@ class SegmentationTrainer:
         self.train_dataloader_factory = train_dataloader_factory
         self.validation_dataloader_factory = validation_dataloader_factory
         self.mesh = mesh
+        # optional fused on-device augmentation applied to each training
+        # batch (ops/augment.py config dict; {} for defaults)
+        self.device_augmentation = device_augmentation
 
         self.iteration = 0
         self.max_score = float("-inf")
@@ -208,6 +211,13 @@ class SegmentationTrainer:
                                              sagittal_split=sagittal_split)
 
             batch = collate_to_device(batch_cf, mesh=self.mesh)
+            if self.device_augmentation is not None:
+                from ..ops.augment import augment_batch
+
+                rng, aug_rng = jax.random.split(rng)
+                batch["X"], batch["y"] = augment_batch(
+                    aug_rng, batch["X"], batch["y"],
+                    config=self.device_augmentation)
             rng, step_rng = jax.random.split(rng)
             self._train_state, loss_dict, y_pred_cl = train_step(
                 self._train_state, batch, step_rng)

@@ -1,0 +1,109 @@
+"""Trainer resume, device augmentation, and cascade config tests."""
+import json
+
+import numpy as np
+import pytest
+
+import segmentation_pipeline_tpu as sp
+from segmentation_pipeline_tpu.loggers import FileLogger
+
+from tests.test_trainer import build_context, build_dataset
+
+
+class TestResume:
+    def test_resume_continues_iteration_and_state(self, tmp_path):
+        root = tmp_path / "ds"
+        logs = tmp_path / "logs"
+        build_dataset(root)
+        context = build_context(root, logs)
+        context.init_components()
+        logger = FileLogger(str(logs))
+        context.trainer.train(context, max_iterations=5, logger=logger)
+        assert context.trainer.iteration == 5
+
+        ckpts = sorted((logger.run_dir / "checkpoints").glob("*.ckpt"))
+        restored = sp.Context(file_path=str(ckpts[-1]),
+                              variables={"DATASET_PATH": str(root)})
+        restored.init_components()
+        assert restored.trainer.iteration == 5
+        # optimizer state came back too (Adam moments are non-zero)
+        opt_state = restored.trainer._restored_opt_state
+        assert opt_state is not None
+        leaves = [l for l in __import__("jax").tree_util.tree_leaves(opt_state)
+                  if hasattr(l, "shape") and getattr(l, "size", 0) > 1]
+        assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+        # continue training: loop resumes at iteration 4 and proceeds
+        logger2 = FileLogger(str(logs))
+        restored.trainer.train(restored, max_iterations=3, logger=logger2)
+        assert restored.trainer.iteration == 5 + 3  # 3 more iterations
+
+
+class TestDeviceAugmentation:
+    def test_trainer_with_device_augmentation(self, tmp_path):
+        root = tmp_path / "ds"
+        logs = tmp_path / "logs"
+        build_dataset(root)
+        context = build_context(root, logs)
+        # enable the fused device augmentation with a light config
+        context.update_component(
+            "trainer",
+            device_augmentation={"affine_p": 0.5, "elastic_p": 0.0,
+                                 "bias_p": 0.3, "noise_p": 0.5})
+        context.init_components()
+        logger = FileLogger(str(logs))
+        context.trainer.train(context, max_iterations=4, logger=logger)
+        metrics = [json.loads(l) for l in open(logger.run_dir / "metrics.jsonl")]
+        assert len(metrics) == 4
+        assert all(np.isfinite(m["loss"]) for m in metrics)
+
+
+class TestCascadeConfig:
+    def test_cascade_context_builds_and_steps(self, tmp_path):
+        """Cascade experiment: prior predictions + StochasticMatrix C^2 head."""
+        from research.dmri_hippo.configs import cascade
+        from tests.test_research_configs import CROP
+
+        # reuse the synthetic hippo dataset builder
+        import tests.test_research_configs as rc
+
+        class _F:
+            def __init__(self, p):
+                self._p = p
+
+            def mktemp(self, name):
+                d = self._p / name
+                d.mkdir(exist_ok=True)
+                return d
+
+        root = rc.hippo_root.__wrapped__(_F(tmp_path))
+        # prior predictions: reuse ground truth as 'standard' prior
+        preds = tmp_path / "preds"
+        for sub in (root / "subjects").iterdir():
+            if not (sub / "whole_roi.nii.gz").exists():
+                continue
+            d = preds / "subjects" / sub.name
+            d.mkdir(parents=True)
+            data, affine = sp.read_nifti(sub / "whole_roi.nii.gz")
+            sp.write_nifti(d / "standard.nii.gz", data, affine)
+
+        context = cascade.get_context(
+            variables={"DATASET_PATH": str(root), "PREDICTIONS_PATH": str(preds)},
+            prior_label_name="standard", fold=0, predict_hbt=False,
+            crop_shape=CROP, filters=4)
+        context.init_components()
+
+        ds = context.dataset.get_cohort_dataset("training")
+        s = ds[0]
+        assert "y_prior" in s
+        assert s["y_prior"].data.shape[0] == 2  # one-hot prior
+
+        # model outputs C^2 = 4 channels through the StochasticMatrix head
+        import jax.numpy as jnp
+
+        x = np.zeros((1, 3, *CROP), np.float32)
+        y = np.asarray(context.model(x))
+        assert y.shape[1] == 4
+        # each CxC transition matrix is column-stochastic
+        mat = y.reshape(1, 2, 2, *CROP)
+        np.testing.assert_allclose(mat.sum(axis=1), 1.0, atol=1e-5)
