@@ -53,9 +53,14 @@ DGM_LABEL_VALUES = {
 VAL_SUBJECTS = ["Cb_Brain_058", "Cb_Brain_106"]
 
 
-def get_context(device=None, variables=None, **kwargs):
+def get_context(device=None, variables=None, crop=(68, 68, 72, 72, 16, 16),
+                filters=40, val_subjects=None, **kwargs):
+    """crop/filters default to the reference config (qsm_deep_grey_matter.py:34,65);
+    override only for small-scale smoke tests."""
     context = Context(device, name="qsm-dgm", variables=variables)
     context.file_paths.append(os.path.abspath(__file__))
+    if val_subjects is None:
+        val_subjects = VAL_SUBJECTS
 
     subject_loader = ComposeLoaders([
         ImageLoader(glob_pattern="MPRAGE.*", image_name="t1",
@@ -74,13 +79,13 @@ def get_context(device=None, variables=None, **kwargs):
 
     cohorts = {
         "all": RequireAttributes(["t1", "qsm", "dgm"]),
-        "training": ForbidAttributes({"name": VAL_SUBJECTS}),
-        "validation": RequireAttributes({"name": VAL_SUBJECTS}),
+        "training": ForbidAttributes({"name": list(val_subjects)}),
+        "validation": RequireAttributes({"name": list(val_subjects)}),
     }
 
     transforms = {"default": Compose([
         RescaleIntensity((-1, 1), (0.1, 99.9)),
-        Crop((68, 68, 72, 72, 16, 16)),
+        Crop(tuple(crop)),
         CustomRemoveLabels(
             labels=["left_ventricle", "right_ventricle",
                     "left_dentate_nucleus", "right_dentate_nucleus"],
@@ -102,7 +107,7 @@ def get_context(device=None, variables=None, **kwargs):
                           subject_path="subjects", subject_loader=subject_loader,
                           cohorts=cohorts, transforms=transforms)
     context.add_component("model", NestedResUNet, input_channels=2,
-                          output_channels=10, filters=40, dropout_p=0.2)
+                          output_channels=10, filters=filters, dropout_p=0.2)
     context.add_component("optimizer", Adam, lr=0.0002)
     context.add_component("criterion", HybridLogisticDiceLoss)
 
@@ -117,11 +122,11 @@ def get_context(device=None, variables=None, **kwargs):
         ScheduledEvaluation(evaluator=ContourImageEvaluator(
             "Axial", "qsm", "y_pred_eval", "y_eval", slice_id=9, legend=True,
             ncol=1, split_subjects=False),
-            log_name="image0", subjects=VAL_SUBJECTS, interval=50),
+            log_name="image0", subjects=list(val_subjects), interval=50),
         ScheduledEvaluation(evaluator=ContourImageEvaluator(
             "Coronal", "qsm", "y_pred_eval", "y_eval", slice_id=51, legend=True,
             ncol=1, split_subjects=False),
-            log_name="image1", subjects=VAL_SUBJECTS, interval=50),
+            log_name="image1", subjects=list(val_subjects), interval=50),
     ]
 
     def scoring_function(evaluation_dict):

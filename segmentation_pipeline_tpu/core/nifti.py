@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import gzip
 import struct
-from pathlib import Path
 from typing import Tuple
 
 import numpy as np

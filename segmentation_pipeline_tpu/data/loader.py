@@ -12,9 +12,8 @@ from __future__ import annotations
 
 import queue as queue_mod
 import random
-import threading
 from abc import ABC, abstractmethod
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
 

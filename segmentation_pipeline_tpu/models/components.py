@@ -9,7 +9,7 @@ Convs route through ops/convolution.py so the Pallas backend can swap in.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

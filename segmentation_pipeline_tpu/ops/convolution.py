@@ -11,7 +11,6 @@ Replaces the reference's delegation to cuDNN via nn.Conv3d
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Sequence, Tuple, Union
 
 import jax

@@ -20,7 +20,6 @@ SPT_CONV_BACKEND=pallas or ops.convolution.set_conv_backend('pallas').
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

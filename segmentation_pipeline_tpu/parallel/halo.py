@@ -15,14 +15,13 @@ mechanisms:
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Sequence, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..ops.sliding_window import grid_locations, hann_window

@@ -9,7 +9,6 @@ collective here by design.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax

@@ -8,7 +8,7 @@ ops/augment.py and is used by the patch pipeline.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import numpy as np
 from scipy import ndimage as ndi

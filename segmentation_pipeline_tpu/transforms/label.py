@@ -7,7 +7,7 @@ name->id dict in sync; one-hot/argmax form an invertible pair.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple, Union
+from typing import Dict, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -167,9 +167,14 @@ class CustomSequentialLabels(LabelTransform):
             if not isinstance(image, LabelMap):
                 continue
             if "label_values" in image:
+                # rank unique *values* (not names): after MergeLabels two
+                # names may share one id, and per-name enumeration would
+                # assign ids beyond the class count (latent bug in ref
+                # custom_label_transforms.py:186-192)
                 label_values = image["label_values"]
-                names = sorted(label_values.keys(), key=lambda n: label_values[n])
-                remapping = [(n, label_values[n], i + 1) for i, n in enumerate(names)]
+                unique_vals = sorted(set(label_values.values()))
+                value_rank = {v: i + 1 for i, v in enumerate(unique_vals)}
+                remapping = [(n, v, value_rank[v]) for n, v in label_values.items()]
             else:
                 unique = sorted(np.unique(np.asarray(image.data)).tolist())
                 unique = [u for u in unique if u != 0]

@@ -12,12 +12,12 @@ device path lives in ops/resample.py.
 from __future__ import annotations
 
 from statistics import mean, median
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 from scipy import ndimage as ndi
 
-from ..core.subject import Image, LabelMap
+from ..core.subject import LabelMap
 from .base import SpatialTransform, Transform
 
 TypeBounds = Tuple[int, int, int, int, int, int]  # w_ini, w_fin, h_ini, h_fin, d_ini, d_fin
@@ -157,9 +157,6 @@ class CropOrPad(SpatialTransform):
         for axis in range(3):
             size = spatial_shape[axis]
             target = self.target_shape[axis]
-            if size == target and True:
-                # may still need recentering on the mask; handled via crop+pad below
-                pass
             # ideal window [lo, hi) of length target centred on center
             lo = int(round(center[axis] - target / 2 + 0.5))
             hi = lo + target

@@ -1,3 +1,6 @@
+from .compact_json import CompactJSONEncoder
+from .config import Config, get_nested_config
+from .dataset_files import prepare_dataset_files
 from .misc import (
     as_list,
     as_set,
@@ -11,5 +14,6 @@ from .misc import (
     time_str_to_seconds,
     vargs_or_sequence,
 )
+from .timer import ProfilerTrace, Timer
 
 __all__ = [k for k in dir() if not k.startswith("_")]

@@ -7,7 +7,6 @@ hide device time; optional jax.profiler trace hooks for deep dives.
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 
 class Timer:

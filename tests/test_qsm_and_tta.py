@@ -1,0 +1,106 @@
+"""QSM config integration + run_inference TTA tests."""
+import json
+
+import numpy as np
+import pytest
+
+import segmentation_pipeline_tpu as sp
+from segmentation_pipeline_tpu.loggers import FileLogger
+
+
+@pytest.fixture(scope="module")
+def qsm_root(tmp_path_factory):
+    """Synthetic QSM dataset with the full 17-structure label dict."""
+    from research.qsm_deep_grey_matter.qsm_deep_grey_matter import DGM_LABEL_VALUES
+
+    root = tmp_path_factory.mktemp("qsm")
+    rng = np.random.default_rng(0)
+    W, H, D = 40, 40, 24
+    values = list(DGM_LABEL_VALUES.values())
+    for i in range(4):
+        d = root / "subjects" / f"Cb_Brain_{i:03d}"
+        d.mkdir(parents=True)
+        dgm = np.zeros((1, W, H, D), np.int16)
+        # plant each structure as a small block (left half / right half)
+        rs = np.random.default_rng(i)
+        for v in values:
+            cx = rs.integers(2, W // 2 - 4) if v % 2 == 1 else rs.integers(W // 2, W - 6)
+            cy = rs.integers(2, H - 6)
+            cz = rs.integers(2, D - 5)
+            dgm[:, cx:cx + 3, cy:cy + 3, cz:cz + 2] = v
+        t1 = rng.normal(size=(1, W, H, D)).astype(np.float32) + (dgm > 0) * 2.0
+        qsm = rng.normal(size=(1, W, H, D)).astype(np.float32) + (dgm > 0)
+        sp.write_nifti(d / "MPRAGE.nii.gz", t1, np.eye(4))
+        sp.write_nifti(d / "QSM.nii.gz", qsm, np.eye(4))
+        sp.write_nifti(d / "vB_PS_r.nii.gz", dgm, np.eye(4))
+    return root
+
+
+class TestQsmConfig:
+    def test_label_pipeline_and_training(self, qsm_root, tmp_path):
+        from research.qsm_deep_grey_matter.qsm_deep_grey_matter import get_context
+
+        context = get_context(
+            variables={"DATASET_PATH": str(qsm_root)},
+            crop=(4, 4, 4, 4, 0, 0), filters=4,
+            val_subjects=["Cb_Brain_000"])
+        context.init_components()
+        assert len(context.dataset) == 4
+
+        s = context.dataset[0]
+        # ventricles/dentate removed, L/R merged, sequential to <=9 fg classes
+        y = np.asarray(s["y"].data)
+        assert y.shape[0] == 10  # one-hot with num_classes=10
+        assert s["X"].data.shape[0] == 2
+        label_values = s["dgm"]["label_values"]
+        assert "left_ventricle" not in label_values
+        assert max(label_values.values()) <= 9
+
+        logger = FileLogger(str(tmp_path))
+        context.trainer.train(context, max_iterations=2, logger=logger)
+        metrics = [json.loads(l) for l in open(logger.run_dir / "metrics.jsonl")]
+        assert len(metrics) == 2
+        assert np.isfinite(metrics[-1]["loss"])
+
+
+class TestRunInferenceTTA:
+    def test_orientation_tta(self, tmp_path):
+        """48-orientation transforms + majority vote on a voxelwise model."""
+        import run_inference as ri
+
+        transforms = ri.get_test_time_transforms()
+        assert len(transforms) == 48
+
+        class _Model:
+            def __call__(self, x):
+                import jax.numpy as jnp
+
+                fg = (jnp.asarray(x)[:, 0:1] > 0).astype(jnp.float32)
+                return jnp.concatenate([1 - fg, fg], axis=1)
+
+        s = sp.Subject({"name": "s0", "folder": str(tmp_path)})
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=(1, 8, 8, 8)).astype(np.float32)
+        s["X"] = sp.ScalarImage(tensor=data, affine=np.eye(4))
+        predictor = sp.StandardPredict(image_names=["X"])
+        out = ri.test_time_augmentation(s, predictor, _Model(),
+                                        orientation_count=8)
+        # voxelwise model is orientation-equivariant: TTA must equal direct
+        expected = (data[0] > 0).astype(np.int32)
+        np.testing.assert_array_equal(out[0], expected)
+
+
+class TestEnsembleOrientations:
+    def test_orientation_ensemble_invariance(self):
+        import jax.numpy as jnp
+
+        from segmentation_pipeline_tpu.models.ensemble import EnsembleOrientations
+
+        def model(x):
+            fg = (jnp.asarray(x)[:, 0:1] > 0).astype(jnp.float32)
+            return jnp.concatenate([1 - fg, fg], axis=1)
+
+        x = np.random.default_rng(1).normal(size=(1, 1, 4, 4, 4)).astype(np.float32)
+        direct = np.asarray(model(x))
+        tta = np.asarray(EnsembleOrientations(model, "mean")(x))
+        np.testing.assert_allclose(tta, direct, atol=1e-6)
