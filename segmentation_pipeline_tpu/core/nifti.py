@@ -63,8 +63,22 @@ def read_nifti(path) -> Tuple[np.ndarray, np.ndarray]:
 
     data has shape (C, W, H, D) — channel-first like torchio — and affine is a
     float64 (4, 4) voxel->world matrix (RAS+ if the file says so).
+
+    Fast path: the native C++ reader (native/nifti_io.cpp) inflates and
+    copies the payload with the GIL released; this Python codec parses the
+    header and remains the general fallback (big-endian files, no compiler).
     """
-    raw = _read_bytes(path)
+    payload = None
+    try:
+        from ..native import nifti_read_raw_native
+
+        native = nifti_read_raw_native(path)
+    except Exception:
+        native = None
+    if native is not None:
+        raw, payload = native
+    else:
+        raw = _read_bytes(path)
     if len(raw) < HEADER_SIZE:
         raise ValueError(f"{path}: file too small to be NIfTI-1")
 
@@ -104,8 +118,11 @@ def read_nifti(path) -> Tuple[np.ndarray, np.ndarray]:
         dtype = dtype.newbyteorder(">")
 
     count = int(np.prod(shape))
-    offset = int(vox_offset) if vox_offset >= HEADER_SIZE else HEADER_SIZE
-    arr = np.frombuffer(raw, dtype=dtype, count=count, offset=offset)
+    if payload is not None:
+        arr = np.frombuffer(payload, dtype=dtype, count=count)
+    else:
+        offset = int(vox_offset) if vox_offset >= HEADER_SIZE else HEADER_SIZE
+        arr = np.frombuffer(raw, dtype=dtype, count=count, offset=offset)
     arr = arr.reshape(shape, order="F")
     if swap:
         arr = arr.astype(arr.dtype.newbyteorder("="))

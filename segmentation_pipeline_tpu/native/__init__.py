@@ -51,6 +51,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.component_counts.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
+        lib.nifti_read_header.restype = ctypes.c_int
+        lib.nifti_read_header.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.nifti_read_payload.restype = ctypes.c_int64
+        lib.nifti_read_payload.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         _LIB = lib
         return _LIB
 
@@ -100,3 +107,34 @@ def grey_dilation_native(img: np.ndarray) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         W, H, D)
     return out.astype(img.dtype)
+
+
+def nifti_read_raw_native(path):
+    """Native NIfTI read: returns (raw352_header_bytes, payload_bytes ndarray)
+    or None when the native lib is unavailable or the file needs the general
+    Python codec (big-endian, exotic layouts).  The gzip inflate and payload
+    copy run in C with the GIL released, so loader threads scale."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    header = np.zeros(16, dtype=np.float64)
+    raw352 = np.zeros(352, dtype=np.uint8)
+    rc = lib.nifti_read_header(
+        str(path).encode(), header.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        raw352.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        return None
+    ndim = int(header[0])
+    dims = [int(d) for d in header[1:1 + max(ndim, 3)]]
+    bitpix = int(header[9])
+    count = 1
+    for d in dims:
+        count *= max(d, 1)
+    n_bytes = count * (bitpix // 8)
+    payload = np.empty(n_bytes, dtype=np.uint8)
+    got = lib.nifti_read_payload(
+        str(path).encode(), payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_bytes)
+    if got != n_bytes:
+        return None
+    return bytes(raw352.tobytes()), payload
