@@ -119,6 +119,7 @@ class SegmentationTrainer:
     def train(self, context, max_iterations: int = None,
               max_training_time: Optional[Union[int, str]] = None,
               preload_training_data: bool = False,
+              pretransform_training_data: bool = False,
               preload_validation_data: bool = False,
               num_workers: int = 0, validation_batch_size: int = 16,
               logger: Logger = None, force_continue: bool = False):
@@ -141,10 +142,16 @@ class SegmentationTrainer:
         logger.setup(context)
 
         training_dataset = context.dataset.get_cohort_dataset("training")
-        if preload_training_data:
+        if preload_training_data or pretransform_training_data:
             t = time.time()
             print("Preloading training data...")
-            training_dataset.preload_subjects()
+            if pretransform_training_data:
+                # apply the (deterministic) pipeline once; per-iteration host
+                # work shrinks to deepcopy+collate — pair with
+                # device_augmentation so augs still vary every step
+                training_dataset.preload_and_transform_subjects()
+            else:
+                training_dataset.preload_subjects()
             print(f"Done. Took {round(time.time() - t, 2)}s")
 
         validation_filter = self.get_filter_from_scheduled_evaluations(
@@ -177,25 +184,36 @@ class SegmentationTrainer:
         optimizer = context.optimizer
         sagittal_split = getattr(self.train_predictor, "sagittal_split", False)
 
-        first_batch = None
         train_step = None
 
         timer = Timer()
         rng = jax.random.PRNGKey(self.iteration)
         max_iterations = int(max_iterations if max_iterations is not None else 10 ** 9)
 
-        for _ in range(max_iterations):
-            timer.start()
-
+        def fetch_and_upload():
+            """Pull the next batch from the host pipeline and start its
+            async H2D transfer. Called while the device is busy with the
+            current step so the upload rides under the compute."""
             subjects = next(training_iterator)
             batch_cf = {
                 "X": np.stack([np.asarray(s["X"].data) for s in subjects]).astype(np.float32),
                 "y": np.stack([np.asarray(s["y"].data) for s in subjects]).astype(np.float32),
             }
+            return subjects, collate_to_device(batch_cf, mesh=self.mesh)
+
+        pending = None  # (subjects, device_batch) prefetched last iteration
+
+        for _ in range(max_iterations):
+            timer.start()
+
+            if pending is None:
+                subjects, batch = fetch_and_upload()
+            else:
+                subjects, batch = pending
             timer.stamp("data_loading")
 
             if train_step is None:
-                model.ensure_initialized(batch_cf["X"])
+                model.ensure_initialized(np.moveaxis(np.asarray(batch["X"]), -1, 1))
                 opt_state = optimizer.init(model.params)
                 restored = getattr(self, "_restored_opt_state", None)
                 if restored is not None:
@@ -210,7 +228,6 @@ class SegmentationTrainer:
                                              mesh=self.mesh,
                                              sagittal_split=sagittal_split)
 
-            batch = collate_to_device(batch_cf, mesh=self.mesh)
             if self.device_augmentation is not None:
                 from ..ops.augment import augment_batch
 
@@ -223,6 +240,15 @@ class SegmentationTrainer:
                 self._train_state, batch, step_rng)
             model.update_variables(self._train_state.params,
                                    self._train_state.batch_stats)
+
+            # software pipeline: while the dispatched step runs on device,
+            # load + upload the NEXT batch, then block on this step's metrics
+            try:
+                pending = fetch_and_upload()
+            except StopIteration:  # infinite iterator in practice
+                pending = None
+            timer.stamp("next_batch_prefetch")
+
             loss_dict = {k: float(v) for k, v in loss_dict.items()}
             timer.stamp("train_step", sync_on=y_pred_cl)
 
