@@ -90,5 +90,6 @@ from .training import (
 from .transforms import *  # noqa: F401,F403
 from .utils import filter_kwargs, flatten_nested_dict, no_op, time_str_to_seconds
 from . import post_processing
+from . import ops, parallel, native  # noqa: F401
 
 __version__ = "0.1.0"

@@ -82,3 +82,30 @@ class TestAugmentBatch:
             size=(1, 8, 8, 8, 1)).astype(np.float32), (2, 1, 1, 1, 1)))
         out, _ = augment_batch(jax.random.PRNGKey(1), X)
         assert not np.array_equal(np.asarray(out[0]), np.asarray(out[1]))
+
+
+class TestDeviceResample:
+    def test_matches_host_resample(self):
+        from segmentation_pipeline_tpu.ops.resample import resample_volume
+        from segmentation_pipeline_tpu.transforms.spatial import resample_array
+
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=(2, 12, 10, 8)).astype(np.float32)
+        src_affine = np.diag([2.0, 2.0, 2.0, 1.0])
+        dst_affine = np.diag([1.0, 1.0, 1.0, 1.0])
+        dst_shape = (24, 20, 16)
+        host = resample_array(data, src_affine, dst_affine, dst_shape, order=1)
+        dev = np.asarray(resample_volume(data, src_affine, dst_affine, dst_shape,
+                                         order=1))
+        # edge handling differs (scipy constant-pad vs clamp); compare interior
+        inner = (slice(None), slice(1, 21), slice(1, 17), slice(1, 13))
+        np.testing.assert_allclose(dev[inner], host[inner], atol=1e-4)
+
+    def test_nearest_for_labels(self):
+        from segmentation_pipeline_tpu.ops.resample import resample_volume
+
+        labels = np.zeros((1, 8, 8, 8), np.float32)
+        labels[:, 2:6, 2:6, 2:6] = 3.0
+        out = np.asarray(resample_volume(labels, np.eye(4), np.eye(4), (8, 8, 8),
+                                         order=0))
+        np.testing.assert_array_equal(out, labels)
