@@ -100,13 +100,17 @@ class PatchPredict(Predictor):
 
     def __init__(self, image_names: Sequence[str] = ("X",), patch_batch_size: int = 16,
                  patch_size=None, patch_overlap=(0, 0, 0), padding_mode=None,
-                 overlap_mode: str = "average"):
+                 overlap_mode: str = "average", shape_bucket: int = 0):
         self.image_names = list(image_names)
         self.patch_batch_size = patch_batch_size
         self.patch_size = patch_size
         self.patch_overlap = patch_overlap
         self.padding_mode = padding_mode
         self.overlap_mode = overlap_mode
+        # shape_bucket > 0: pad each volume's spatial dims up to a multiple of
+        # this value before the fused sliding window, so ragged subject shapes
+        # share compiled programs (XLA static shapes; SURVEY §7 bucket-and-pad)
+        self.shape_bucket = shape_bucket
 
     def predict(self, model, subjects, label_attributes=None):
         mode = "average" if self.overlap_mode == "average" else self.overlap_mode
@@ -124,8 +128,13 @@ class PatchPredict(Predictor):
         for subject in subjects:
             volume = np.asarray(subject["X"].data)
             # pad volumes smaller than the patch (tio.GridSampler padding_mode)
+            # and, when bucketing, up to the next shape bucket
             spatial = volume.shape[1:]
-            pad = [(0, 0)] + [(0, max(0, p - s)) for p, s in zip(patch_size, spatial)]
+            targets = [max(p, s) for p, s in zip(patch_size, spatial)]
+            if self.shape_bucket:
+                b = self.shape_bucket
+                targets = [((t + b - 1) // b) * b for t in targets]
+            pad = [(0, 0)] + [(0, t - s) for t, s in zip(targets, spatial)]
             padded = any(p[1] for p in pad)
             if padded:
                 if self.padding_mode in (None, 0):

@@ -329,3 +329,29 @@ class TestEnsembles:
         c = jnp.asarray(np.array([[[0.3], [0.7]]]))  # class 1
         out = np.asarray(apply_strategy([a, b, c], "majority"))
         assert out[0, 1, 0] == 1.0
+
+
+class TestShapeBucketing:
+    def test_bucketed_patch_predict_matches_unbucketed(self):
+        """shape_bucket pads to shared compiled shapes; outputs unchanged."""
+
+        def model(x):
+            x = jnp.asarray(x)
+            fg = (x[:, 0:1] > 0).astype(jnp.float32)
+            return jnp.concatenate([1 - fg, fg], axis=1)
+
+        for shape in [(17, 14, 10), (19, 18, 12)]:
+            s1 = make_subject(spatial_shape=shape, name="s")
+            s1["X"] = s1["img"]
+            s2 = make_subject(spatial_shape=shape, name="s")
+            s2["X"] = s2["img"]
+            plain, _ = PatchPredict(image_names=["X"], patch_size=8,
+                                    patch_overlap=4, patch_batch_size=2
+                                    ).predict(model, [s1])
+            bucketed, _ = PatchPredict(image_names=["X"], patch_size=8,
+                                       patch_overlap=4, patch_batch_size=2,
+                                       shape_bucket=16).predict(model, [s2])
+            a = np.asarray(plain[0]["y_pred"].data)
+            b = np.asarray(bucketed[0]["y_pred"].data)
+            assert a.shape == b.shape == (2, *shape)
+            np.testing.assert_allclose(a, b, atol=1e-5)
