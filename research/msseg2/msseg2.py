@@ -1,10 +1,12 @@
 """MSSEG2 longitudinal new-lesion segmentation experiment.
 
-TPU-native counterpart of ref research/msseg2/msseg2.py:11-166: two-timepoint
-FLAIR concat, 1mm resample + crop-to-brain-mask + min-pad, aggressive spatial
-augmentation, patch-probability weight map feeding a WeightedSampler 96^3
-patch queue, depth-6 BlurConv ModularUNet, class-weighted hybrid loss,
-PatchPredict validation, nan-aware Dice scoring.
+TPU-native counterpart of ref research/msseg2/msseg2.py:11-166.  The
+experiment definition (two-timepoint FLAIR inputs, 1mm resample +
+crop-to-brain + min-pad, aggressive spatial augmentation, lesion-weighted
+96^3 patch sampling, depth-6 BlurConv UNet, class-weighted hybrid loss,
+patch-based validation, nan-aware Dice scoring) is the behavioral spec; the
+machinery is this framework's (patch queue + fused sliding window + remat'd
+flax model).
 """
 import os
 
@@ -21,6 +23,7 @@ from segmentation_pipeline_tpu import (
     Context,
     CropToMask,
     CustomOneHot,
+    EnforceConsistentAffine,
     HybridLogisticDiceLoss,
     ImageFromLabels,
     ImageLoader,
@@ -55,21 +58,13 @@ from segmentation_pipeline_tpu import (
     SubjectFolder,
     TargetResample,
     WeightedSampler,
-    EnforceConsistentAffine,
 )
 
+TIMEPOINTS = ("flair_time01", "flair_time02")
 
-def get_context(device=None, variables=None, fold=0, patch_size=96,
-                filters=(40, 40, 80, 80, 120, 120), **kwargs):
-    """patch_size/filters default to the reference config (msseg2.py:17,87);
-    override only for small-scale smoke tests."""
-    context = Context(device, name="msseg2", variables=variables)
-    context.file_paths.append(os.path.abspath(__file__))
-    context.config = config = {"fold": fold, "patch_size": patch_size}
 
-    input_images = ["flair_time01", "flair_time02"]
-
-    subject_loader = ComposeLoaders([
+def build_ingestion():
+    return ComposeLoaders([
         ImageLoader(glob_pattern="flair_time01*", image_name="flair_time01",
                     image_constructor=ScalarImage),
         ImageLoader(glob_pattern="flair_time02*", image_name="flair_time02",
@@ -80,21 +75,20 @@ def get_context(device=None, variables=None, fold=0, patch_size=96,
                     image_constructor=LabelMap, label_values={"lesion": 1}),
     ])
 
-    cohorts = {}
-    cohorts["all"] = RequireAttributes(input_images)
-    cohorts["validation"] = RandomFoldFilter(num_folds=5, selection=fold,
-                                             seed=0xDEADBEEF)
-    cohorts["training"] = NegateFilter(cohorts["validation"])
 
-    common_transforms_1 = Compose([
+def build_pipelines(patch_size: int) -> dict:
+    """Geometry normalization -> (training only) spatial+intensity
+    augmentation -> model I/O staging -> (training only) the lesion-weighted
+    patch-probability map consumed by the WeightedSampler."""
+    normalize_geometry = Compose([
         SetDataType(np.float32),
         EnforceConsistentAffine(source_image_name="flair_time01"),
         TargetResample(target_spacing=1, tolerance=0.11),
         CropToMask("brain_mask"),
-        MinSizePad(config["patch_size"]),
+        MinSizePad(patch_size),
     ])
 
-    augmentations = Compose([
+    augment = Compose([
         RandomPermuteDimensions(),
         RandomFlip(axes=(0, 1, 2)),
         OneOf({
@@ -109,29 +103,55 @@ def get_context(device=None, variables=None, fold=0, patch_size=96,
         RandomNoise(std=0.1, p=0.35),
     ])
 
-    common_transforms_2 = Compose([
+    stage_model_io = Compose([
         RescaleIntensity((-1, 1.0), (0.05, 99.5)),
-        ConcatenateImages(image_names=["flair_time01", "flair_time02"],
-                          image_channels=[1, 1], new_image_name="X"),
+        ConcatenateImages(image_names=list(TIMEPOINTS), image_channels=[1, 1],
+                          new_image_name="X"),
         RenameProperty(old_name="ground_truth", new_name="y"),
         CustomOneHot(include="y"),
     ])
 
-    transforms = {
-        "default": Compose([common_transforms_1, common_transforms_2]),
-        "training": Compose([
-            common_transforms_1,
-            augmentations,
-            common_transforms_2,
-            ImageFromLabels(new_image_name="patch_probability",
-                            label_weights=[("brain_mask", "brain", 1),
-                                           ("y", "lesion", 100)]),
-        ]),
+    lesion_weighted_map = ImageFromLabels(
+        new_image_name="patch_probability",
+        label_weights=[("brain_mask", "brain", 1), ("y", "lesion", 100)])
+
+    return {
+        "default": Compose([normalize_geometry, stage_model_io]),
+        "training": Compose([normalize_geometry, augment, stage_model_io,
+                             lesion_weighted_map]),
+    }
+
+
+def nan_aware_lesion_dice(evaluation_dict) -> float:
+    """Mean lesion Dice with 0/0 (correctly empty prediction) scored 1.0 and
+    >0/0 (false-positive lesions on a lesion-free subject) scored 0.0
+    (ref msseg2.py:124-136)."""
+    seg_eval = evaluation_dict["segmentation_eval"]["validation"]
+    dice = np.asarray(seg_eval["subject_stats"]["dice"], dtype=np.float64)
+    dice = np.nan_to_num(dice, nan=1.0, posinf=0.0)
+    return float(dice.mean())
+
+
+def get_context(device=None, variables=None, fold=0, patch_size=96,
+                filters=(40, 40, 80, 80, 120, 120), **kwargs):
+    """patch_size/filters default to the reference config (msseg2.py:17,87);
+    override only for small-scale smoke tests."""
+    context = Context(device, name="msseg2", variables=variables)
+    context.file_paths.append(os.path.abspath(__file__))
+    context.config = {"fold": fold, "patch_size": patch_size}
+
+    validation_cohort = RandomFoldFilter(num_folds=5, selection=fold,
+                                         seed=0xDEADBEEF)
+    cohorts = {
+        "all": RequireAttributes(list(TIMEPOINTS)),
+        "validation": validation_cohort,
+        "training": NegateFilter(validation_cohort),
     }
 
     context.add_component("dataset", SubjectFolder, root="$DATASET_PATH",
-                          subject_path="", subject_loader=subject_loader,
-                          cohorts=cohorts, transforms=transforms)
+                          subject_path="", subject_loader=build_ingestion(),
+                          cohorts=cohorts,
+                          transforms=build_pipelines(patch_size))
     context.add_component("model", ModularUNet,
                           in_channels=2, out_channels=2,
                           filters=list(filters), depth=len(filters),
@@ -142,8 +162,8 @@ def get_context(device=None, variables=None, fold=0, patch_size=96,
                           upsample_class=BlurConvTranspose3d,
                           upsample_params={"kernel_size": 3, "stride": 2,
                                            "padding": 1, "output_padding": 0},
-                          # remat blocks: batch-4 96^3 depth-6 training does
-                          # not fit v5e HBM without rematerialization
+                          # batch-4 96^3 depth-6 training does not fit v5e HBM
+                          # without per-block rematerialization
                           remat=True)
     context.add_component("optimizer", SGD, lr=0.001, momentum=0.95)
     context.add_component("criterion", HybridLogisticDiceLoss,
@@ -160,7 +180,6 @@ def get_context(device=None, variables=None, fold=0, patch_size=96,
             split_subjects=False),
             log_name="contour_image", interval=15),
     ]
-
     validation_evaluators = [
         ScheduledEvaluation(evaluator=SegmentationEvaluator("y_pred_eval", "y_eval"),
                             log_name="segmentation_eval", cohorts=["validation"],
@@ -172,41 +191,28 @@ def get_context(device=None, variables=None, fold=0, patch_size=96,
             log_name="contour_image", cohorts=["validation"], interval=50),
     ]
 
-    def scoring_function(evaluation_dict):
-        # nan-aware lesion Dice: 0/0 (correctly predicted no lesions) -> 1.0,
-        # >0/0 (false positive lesions) -> 0.0 (ref msseg2.py:124-136)
-        seg_eval = evaluation_dict["segmentation_eval"]["validation"]
-        dice = np.asarray(seg_eval["subject_stats"]["dice"], dtype=np.float64)
-        dice = np.nan_to_num(dice, nan=1.0, posinf=0.0)
-        return float(dice.mean())
-
-    train_predictor = StandardPredict(image_names=["X", "y"])
-    validation_predictor = PatchPredict(
-        patch_batch_size=32,
-        patch_size=config["patch_size"],
-        patch_overlap=(config["patch_size"] // 8),
-        padding_mode=None,
-        overlap_mode="average",
-        image_names=["X"])
-
-    patch_sampler = WeightedSampler(patch_size=config["patch_size"],
-                                    probability_map="patch_probability")
-    train_dataloader_factory = PatchDataLoader(max_length=100, samples_per_volume=1,
-                                               sampler=patch_sampler)
-    validation_dataloader_factory = StandardDataLoader(sampler=SequentialSampler)
-
-    context.add_component("trainer", SegmentationTrainer,
-                          training_batch_size=4,
-                          save_rate=100,
-                          scoring_interval=50,
-                          scoring_function=scoring_function,
-                          one_time_evaluators=[],
-                          training_evaluators=training_evaluators,
-                          validation_evaluators=validation_evaluators,
-                          max_iterations_with_no_improvement=2000,
-                          train_predictor=train_predictor,
-                          validation_predictor=validation_predictor,
-                          train_dataloader_factory=train_dataloader_factory,
-                          validation_dataloader_factory=validation_dataloader_factory)
-
+    context.add_component(
+        "trainer", SegmentationTrainer,
+        training_batch_size=4,
+        save_rate=100,
+        scoring_interval=50,
+        scoring_function=nan_aware_lesion_dice,
+        one_time_evaluators=[],
+        training_evaluators=training_evaluators,
+        validation_evaluators=validation_evaluators,
+        max_iterations_with_no_improvement=2000,
+        train_predictor=StandardPredict(image_names=["X", "y"]),
+        validation_predictor=PatchPredict(
+            patch_batch_size=32,
+            patch_size=patch_size,
+            patch_overlap=(patch_size // 8),
+            padding_mode=None,
+            overlap_mode="average",
+            image_names=["X"]),
+        train_dataloader_factory=PatchDataLoader(
+            max_length=100, samples_per_volume=1,
+            sampler=WeightedSampler(patch_size=patch_size,
+                                    probability_map="patch_probability")),
+        validation_dataloader_factory=StandardDataLoader(
+            sampler=SequentialSampler))
     return context

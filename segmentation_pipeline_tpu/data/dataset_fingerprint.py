@@ -18,16 +18,18 @@ from .subject_folder import SubjectFolder
 
 
 def get_bounds(mask: np.ndarray) -> dict:
-    where = np.where(mask)
-    extents, crop, size, center = [], [], [], []
-    for i, w in enumerate(where):
-        w_min = int(w.min())
-        w_max = int(w.max())
-        extents += [w_min, w_max]
-        crop += [w_min, mask.shape[i] - w_max]
-        size.append(w_max - w_min)
-        center.append((w_max + w_min) / 2)
-    return {"extents": extents, "crop": crop, "size": size, "center": center}
+    """Bounding-box summary of a boolean mask: per-axis extents, the crop
+    margins to reach them, box size and center."""
+    coords = np.where(mask)
+    lows = [int(c.min()) for c in coords]
+    highs = [int(c.max()) for c in coords]
+    return {
+        "extents": [v for pair in zip(lows, highs) for v in pair],
+        "crop": [v for axis, pair in enumerate(zip(lows, highs))
+                 for v in (pair[0], mask.shape[axis] - pair[1])],
+        "size": [hi - lo for lo, hi in zip(lows, highs)],
+        "center": [(hi + lo) / 2 for lo, hi in zip(lows, highs)],
+    }
 
 
 def get_label_bounds(label_map: LabelMap) -> dict:
