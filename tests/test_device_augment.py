@@ -109,3 +109,48 @@ class TestDeviceResample:
         out = np.asarray(resample_volume(labels, np.eye(4), np.eye(4), (8, 8, 8),
                                          order=0))
         np.testing.assert_array_equal(out, labels)
+
+
+class TestDeviceMorphology:
+    def test_device_cc_matches_native_partition(self):
+        from segmentation_pipeline_tpu.native import connected_components_native
+        from segmentation_pipeline_tpu.ops.morphology import (
+            compact_labels,
+            connected_components_device,
+        )
+
+        rng = np.random.default_rng(0)
+        mask = rng.random((20, 18, 16)) > 0.75
+        dev, n_dev = compact_labels(connected_components_device(mask, connectivity=3))
+        ref, n_ref = connected_components_native(mask, connectivity=3)
+        assert n_dev == n_ref
+        # identical partitions: components must correspond 1:1
+        for i in range(1, n_ref + 1):
+            ids = np.unique(dev[ref == i])
+            assert len(ids) == 1 and ids[0] != 0
+        assert ((dev > 0) == (ref > 0)).all()
+
+    def test_device_cc_connectivity_1(self):
+        from segmentation_pipeline_tpu.ops.morphology import (
+            compact_labels,
+            connected_components_device,
+        )
+
+        mask = np.zeros((6, 6, 6), bool)
+        mask[0, 0, 0] = True
+        mask[1, 1, 1] = True  # diagonal: separate under 6-connectivity
+        _, n6 = compact_labels(connected_components_device(mask, connectivity=1))
+        _, n26 = compact_labels(connected_components_device(mask, connectivity=3))
+        assert n6 == 2 and n26 == 1
+
+    def test_device_dilation_matches_scipy(self):
+        from scipy import ndimage as ndi
+
+        from segmentation_pipeline_tpu.ops.morphology import binary_dilation_device
+
+        rng = np.random.default_rng(1)
+        mask = rng.random((12, 12, 12)) > 0.9
+        dev = np.asarray(binary_dilation_device(mask, connectivity=1, iterations=2))
+        ref = ndi.binary_dilation(mask, ndi.generate_binary_structure(3, 1),
+                                  iterations=2)
+        np.testing.assert_array_equal(dev, ref)
