@@ -16,6 +16,8 @@ import time
 
 
 def main():
+    if os.environ.get("BENCH_CONFIG") == "msseg2":
+        return msseg2_bench()
     import jax
     import numpy as np
 
@@ -70,6 +72,57 @@ def main():
         "value": round(volumes_per_sec, 3),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(volumes_per_sec / baseline, 1),
+    }))
+
+
+def msseg2_bench():
+    """Alternate workload: msseg2 patch training (batch 4 x 96^3 x 2ch,
+    depth-6 BlurConv ModularUNet with remat; ref msseg2.py:17,87,148-153)."""
+    import jax
+    import numpy as np
+
+    from segmentation_pipeline_tpu.criterions import HybridLogisticDiceLoss
+    from segmentation_pipeline_tpu.models import (
+        BlurConv3d, BlurConvTranspose3d, ModularUNet)
+    from segmentation_pipeline_tpu.training.model import SegModel
+    from segmentation_pipeline_tpu.training.optimizers import SGD
+    from segmentation_pipeline_tpu.training.train_step import (
+        collate_to_device, create_train_state, make_train_step)
+
+    model = SegModel(ModularUNet(
+        in_channels=2, out_channels=2, filters=[40, 40, 80, 80, 120, 120],
+        depth=6, block_params={"residual": True},
+        downsample_class=BlurConv3d,
+        downsample_params={"kernel_size": 3, "stride": 2, "padding": 1},
+        upsample_class=BlurConvTranspose3d,
+        upsample_params={"kernel_size": 3, "stride": 2, "padding": 1,
+                         "output_padding": 0},
+        remat=True))
+    criterion = HybridLogisticDiceLoss(logistic_class_weights=[1, 100])
+    optimizer = SGD(lr=0.001, momentum=0.95)
+    rng_np = np.random.default_rng(0)
+    X = rng_np.normal(size=(4, 2, 96, 96, 96)).astype(np.float32)
+    lab = (X[:, 0] > 0.5).astype(np.float32)
+    y = np.stack([1 - lab, lab], axis=1)
+    batch_cf = {"X": X, "y": y}
+    state = create_train_state(model, optimizer, batch_cf)
+    step = make_train_step(model.module, criterion, optimizer)
+    batch = collate_to_device(batch_cf)
+    rng = jax.random.PRNGKey(0)
+    state, loss_dict, _ = step(state, batch, rng)
+    jax.block_until_ready(loss_dict["loss"])
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    t0 = time.time()
+    for _ in range(n_steps):
+        rng, sub = jax.random.split(rng)
+        state, loss_dict, _ = step(state, batch, sub)
+    jax.block_until_ready(loss_dict["loss"])
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "msseg2 patch train throughput (batch 4, 96^3x2ch, depth-6 BlurConv UNet, remat)",
+        "value": round(n_steps * 4 / dt, 3),
+        "unit": "patches/sec/chip",
+        "vs_baseline": None,
     }))
 
 
