@@ -47,23 +47,29 @@ def hann_window(patch_size: Sequence[int]) -> np.ndarray:
     return ws[0][:, None, None] * ws[1][None, :, None] * ws[2][None, None, :]
 
 
-def _pad_locations(locations: np.ndarray, batch: int) -> Tuple[np.ndarray, int]:
+def _pad_locations(locations: np.ndarray, batch: int) -> Tuple[np.ndarray, np.ndarray]:
     """Pad the location list to a multiple of ``batch`` by repeating the last
-    location (duplicate contributions are harmless under weighted averaging
-    because the divisor accumulates identically)."""
+    location. Returns (padded_locations, validity): padded entries carry
+    validity 0 and must contribute ZERO weight — a duplicated patch would
+    otherwise be over-weighted relative to other patches in overlap regions.
+    """
     n = locations.shape[0]
     rem = (-n) % batch
+    validity = np.ones(n + rem, np.float32)
     if rem:
         locations = np.concatenate([locations, np.repeat(locations[-1:], rem, 0)], 0)
-    return locations, n
+        validity[n:] = 0.0
+    return locations, validity
 
 
 @partial(jax.jit, static_argnames=("model_fn", "patch_size", "patch_batch", "mode",
                                    "out_channels"))
 def _sliding_window_jit(volume: jnp.ndarray, locations: jnp.ndarray,
-                        model_fn, patch_size: Tuple[int, int, int],
+                        validity: jnp.ndarray, model_fn,
+                        patch_size: Tuple[int, int, int],
                         patch_batch: int, mode: str, out_channels: int):
-    """volume: (W, H, D, C). locations: (L, 3) padded to patch_batch multiple."""
+    """volume: (W, H, D, C). locations: (L, 3) padded to patch_batch multiple;
+    validity: (L,) 1/0 weight gate for padded duplicate locations."""
     W, H, D, _ = volume.shape
     pw, ph, pd = patch_size
 
@@ -76,8 +82,10 @@ def _sliding_window_jit(volume: jnp.ndarray, locations: jnp.ndarray,
         weight = jnp.ones((pw, ph, pd, 1), jnp.float32)
 
     locs = locations.reshape(-1, patch_batch, 3)
+    valid = validity.reshape(-1, patch_batch)
 
-    def body(carry, loc_batch):
+    def body(carry, inputs):
+        loc_batch, valid_batch = inputs
         acc, div = carry
         patches = jax.vmap(
             lambda loc: lax.dynamic_slice(
@@ -87,18 +95,20 @@ def _sliding_window_jit(volume: jnp.ndarray, locations: jnp.ndarray,
 
         def scatter(carry, args):
             acc, div = carry
-            loc, pred = args
+            loc, pred, v = args
+            w = weight * v
             start = (loc[0], loc[1], loc[2], 0)
             cur = lax.dynamic_slice(acc, start, (pw, ph, pd, out_channels))
-            acc = lax.dynamic_update_slice(acc, cur + pred * weight, start)
+            acc = lax.dynamic_update_slice(acc, cur + pred * w, start)
             curd = lax.dynamic_slice(div, start, (pw, ph, pd, 1))
-            div = lax.dynamic_update_slice(div, curd + weight, start)
+            div = lax.dynamic_update_slice(div, curd + w, start)
             return (acc, div), None
 
-        (acc, div), _ = lax.scan(scatter, (acc, div), (loc_batch, preds))
+        (acc, div), _ = lax.scan(scatter, (acc, div),
+                                 (loc_batch, preds, valid_batch))
         return (acc, div), None
 
-    (acc, div), _ = lax.scan(body, (acc, div), locs)
+    (acc, div), _ = lax.scan(body, (acc, div), (locs, valid))
     return acc / jnp.maximum(div, 1e-8)
 
 
@@ -125,7 +135,7 @@ def sliding_window_inference(
     volume = jnp.moveaxis(jnp.asarray(volume_cf, jnp.float32), 0, -1)
     spatial = volume.shape[:3]
     locations = grid_locations(spatial, patch_size, patch_overlap)
-    locations, _ = _pad_locations(locations, patch_batch)
+    locations, validity = _pad_locations(locations, patch_batch)
 
     if out_channels is None:
         probe = jax.eval_shape(
@@ -133,6 +143,6 @@ def sliding_window_inference(
                                            jnp.float32))
         out_channels = probe.shape[-1]
 
-    out = _sliding_window_jit(volume, jnp.asarray(locations), model_fn,
-                              patch_size, patch_batch, mode, out_channels)
+    out = _sliding_window_jit(volume, jnp.asarray(locations), jnp.asarray(validity),
+                              model_fn, patch_size, patch_batch, mode, out_channels)
     return jnp.moveaxis(out, -1, 0)

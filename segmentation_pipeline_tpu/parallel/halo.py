@@ -99,13 +99,17 @@ def distributed_sliding_window(
     locations = grid_locations(spatial, patch_size, patch_overlap)
 
     n_dev = mesh.shape[axis_name]
-    # pad the location list so every device gets the same count (duplicates
-    # are harmless under weighted averaging: acc and div accumulate equally)
+    # pad the location list so every device gets the same count; padded
+    # entries carry validity 0 so they contribute zero weight (a duplicated
+    # patch would otherwise be over-weighted in overlap regions)
     per_dev = -(-len(locations) // n_dev)
     total = per_dev * n_dev
+    n_real = len(locations)
     reps = np.concatenate([locations,
-                           np.repeat(locations[-1:], total - len(locations), 0)])
-    locations_sharded = reps.reshape(n_dev * per_dev, 3).astype(np.int32)
+                           np.repeat(locations[-1:], total - n_real, 0)])
+    locations_sharded = reps.reshape(total, 3).astype(np.int32)
+    validity = np.ones(total, np.float32)
+    validity[n_real:] = 0.0
 
     if out_channels is None:
         probe = jax.eval_shape(model_fn, jax.ShapeDtypeStruct(
@@ -120,8 +124,8 @@ def distributed_sliding_window(
     else:
         weight = jnp.ones((pw, ph, pd, 1), jnp.float32)
 
-    def local_work(volume, locs):
-        # volume replicated; locs: (per_dev, 3) local shard
+    def local_work(volume, locs, valid):
+        # volume replicated; locs: (per_dev, 3) local shard; valid: (per_dev,)
         acc = jnp.zeros((W, H, D, out_channels), jnp.float32)
         div = jnp.zeros((W, H, D, 1), jnp.float32)
         # mark as device-varying so the scan carry type matches the body
@@ -129,25 +133,28 @@ def distributed_sliding_window(
         acc = lax.pvary(acc, (axis_name,))
         div = lax.pvary(div, (axis_name,))
 
-        def body(carry, loc):
+        def body(carry, inputs):
+            loc, v = inputs
             acc, div = carry
             patch = lax.dynamic_slice(volume, (loc[0], loc[1], loc[2], 0),
                                       (pw, ph, pd, volume.shape[3]))
             pred = model_fn(patch[None])[0]
+            w = weight * v
             start = (loc[0], loc[1], loc[2], 0)
             cur = lax.dynamic_slice(acc, start, (pw, ph, pd, out_channels))
-            acc = lax.dynamic_update_slice(acc, cur + pred * weight, start)
+            acc = lax.dynamic_update_slice(acc, cur + pred * w, start)
             curd = lax.dynamic_slice(div, start, (pw, ph, pd, 1))
-            div = lax.dynamic_update_slice(div, curd + weight, start)
+            div = lax.dynamic_update_slice(div, curd + w, start)
             return (acc, div), None
 
-        (acc, div), _ = lax.scan(body, (acc, div), locs)
+        (acc, div), _ = lax.scan(body, (acc, div), (locs, valid))
         acc = lax.psum(acc, axis_name)
         div = lax.psum(div, axis_name)
         return acc / jnp.maximum(div, 1e-8)
 
     fn = shard_map(local_work, mesh=mesh,
-                   in_specs=(P(), P(axis_name)),
+                   in_specs=(P(), P(axis_name), P(axis_name)),
                    out_specs=P())
-    out = jax.jit(fn)(volume, jnp.asarray(locations_sharded))
+    out = jax.jit(fn)(volume, jnp.asarray(locations_sharded),
+                      jnp.asarray(validity))
     return jnp.moveaxis(out, -1, 0)

@@ -56,3 +56,47 @@ class TestMeshUtils:
         padded, n = pad_batch_to_devices(batch, 4)
         assert n == 5
         assert padded["X"].shape == (8, 2)
+
+
+class TestDistributedWithRealModel:
+    def test_unet_distributed_matches_single(self, mesh):
+        """shard_map with a real flax model closure (variables captured)."""
+        import jax.numpy as jnp
+
+        from segmentation_pipeline_tpu.models import NestedResUNet
+        from segmentation_pipeline_tpu.training.model import SegModel
+
+        model = SegModel(NestedResUNet(input_channels=1, output_channels=2,
+                                       filters=4))
+        vol = np.random.default_rng(0).normal(size=(1, 16, 16, 16)).astype(np.float32)
+        model.ensure_initialized(vol[None])
+        variables = model.variables
+        module = model.module
+
+        def model_fn(p_cl):
+            return module.apply(variables, p_cl, train=False)
+
+        # patch_batch=1 on both sides so per-patch conv numerics match; the
+        # zero-weighted location padding makes the aggregation exact across
+        # any device count
+        single = sliding_window_inference(vol, model_fn, patch_size=8,
+                                          patch_overlap=4, patch_batch=1)
+        multi = distributed_sliding_window(vol, model_fn, patch_size=8,
+                                           patch_overlap=4, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(multi), np.asarray(single),
+                                   atol=1e-5)
+
+    def test_padded_locations_not_overweighted(self, mesh):
+        """Location-count padding must not reweight overlap regions: compare
+        patch_batch=1 (no padding, 27 locations) vs patch_batch=4 (pads to
+        28) with a model whose output varies across patches."""
+        import jax.numpy as jnp
+
+        def model_fn(p):
+            # prediction depends on patch content -> differs across patches
+            return p * 2.0 + jnp.mean(p, axis=(1, 2, 3, 4), keepdims=True)
+
+        vol = np.random.default_rng(3).normal(size=(1, 16, 16, 16)).astype(np.float32)
+        a = sliding_window_inference(vol, model_fn, 8, 4, patch_batch=1)
+        b = sliding_window_inference(vol, model_fn, 8, 4, patch_batch=4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
