@@ -12,6 +12,9 @@ mechanisms:
   share into a local accumulator, and a single ``psum`` merges them — this
   replaces the reference's host-side GridSampler loop (prediction.py:131-147)
   with one SPMD XLA program over the mesh.
+- ``sharded_volume_sliding_window``: the volume itself is W-sharded (never
+  replicated) — halo reads + neighbor margin-add writes — so volumes larger
+  than one chip's HBM are processable.
 """
 from __future__ import annotations
 
@@ -157,4 +160,125 @@ def distributed_sliding_window(
                    out_specs=P())
     out = jax.jit(fn)(volume, jnp.asarray(locations_sharded),
                       jnp.asarray(validity))
+    return jnp.moveaxis(out, -1, 0)
+
+
+def sharded_volume_sliding_window(
+    volume_cf: jax.Array,
+    model_fn: Callable[[jax.Array], jax.Array],
+    patch_size,
+    patch_overlap=(0, 0, 0),
+    mode: str = "average",
+    mesh: Mesh = None,
+    axis_name: str = "data",
+    out_channels: int = None,
+) -> jax.Array:
+    """Sliding-window inference with the volume itself W-sharded across the
+    mesh — no device ever holds the full volume, so volumes larger than one
+    chip's HBM become processable (the spatial-sharding counterpart of
+    ``distributed_sliding_window``, which replicates the volume).
+
+    Mechanics: a ppermute halo exchange widens each local W-shard by one
+    patch width for reads; every patch is owned by the device containing its
+    start row and overlap-adds into a local accumulator with one patch width
+    of write margin on each side; margins are ppermute'd to the neighbors and
+    added; the final division happens on the shard.  Exact vs the unsharded
+    path (validity-gated padding, same weights).
+
+    Requires W divisible by the mesh size and local W >= patch width.
+    volume_cf: (C, W, H, D). Returns (C_out, W, H, D).
+    """
+    if isinstance(patch_size, int):
+        patch_size = (patch_size,) * 3
+    if isinstance(patch_overlap, int):
+        patch_overlap = (patch_overlap,) * 3
+    pw, ph, pd = (int(p) for p in patch_size)
+
+    volume = jnp.moveaxis(jnp.asarray(volume_cf, jnp.float32), 0, -1)
+    W, H, D, C = volume.shape
+    n_dev = mesh.shape[axis_name]
+    if W % n_dev != 0:
+        raise ValueError(f"W={W} must divide evenly over {n_dev} devices")
+    w_loc = W // n_dev
+    if w_loc < pw:
+        raise ValueError(f"local W {w_loc} must be >= patch width {pw}")
+
+    locations = grid_locations((W, H, D), (pw, ph, pd), patch_overlap)
+    # assign each patch to the device owning its start row; store the W
+    # coordinate relative to the device's halo-extended local block
+    per_dev_locs = [[] for _ in range(n_dev)]
+    for g_w, g_h, g_d in locations:
+        d = min(int(g_w) // w_loc, n_dev - 1)
+        per_dev_locs[d].append((int(g_w) - d * w_loc + pw, int(g_h), int(g_d)))
+    max_count = max(len(l) for l in per_dev_locs)
+    locs = np.zeros((n_dev, max_count, 3), np.int32)
+    valid = np.zeros((n_dev, max_count), np.float32)
+    for d, lst in enumerate(per_dev_locs):
+        for i, loc in enumerate(lst):
+            locs[d, i] = loc
+            valid[d, i] = 1.0
+
+    if out_channels is None:
+        probe = jax.eval_shape(model_fn, jax.ShapeDtypeStruct(
+            (1, pw, ph, pd, C), jnp.float32))
+        out_channels = probe.shape[-1]
+
+    if mode == "hann":
+        weight = jnp.asarray(hann_window((pw, ph, pd)))[..., None]
+    else:
+        weight = jnp.ones((pw, ph, pd, 1), jnp.float32)
+
+    def local_work(vol_local, locs, valid):
+        # vol_local: (1*w_loc, H, D, C) shard; widen by pw on each side
+        vol_ext = halo_exchange(vol_local, pw, axis_name)  # (w_loc+2pw, ...)
+        locs = locs[0]
+        valid = valid[0]
+
+        acc = jnp.zeros((w_loc + 2 * pw, H, D, out_channels), jnp.float32)
+        div = jnp.zeros((w_loc + 2 * pw, H, D, 1), jnp.float32)
+        acc = lax.pvary(acc, (axis_name,))
+        div = lax.pvary(div, (axis_name,))
+
+        def body(carry, inputs):
+            loc, v = inputs
+            acc, div = carry
+            patch = lax.dynamic_slice(vol_ext, (loc[0], loc[1], loc[2], 0),
+                                      (pw, ph, pd, C))
+            pred = model_fn(patch[None])[0]
+            w = weight * v
+            start = (loc[0], loc[1], loc[2], 0)
+            cur = lax.dynamic_slice(acc, start, (pw, ph, pd, out_channels))
+            acc = lax.dynamic_update_slice(acc, cur + pred * w, start)
+            curd = lax.dynamic_slice(div, start, (pw, ph, pd, 1))
+            div = lax.dynamic_update_slice(div, curd + w, start)
+            return (acc, div), None
+
+        (acc, div), _ = lax.scan(body, (acc, div), (locs, valid))
+
+        # write-margin exchange: our left margin belongs to the left
+        # neighbor's interior tail; our right margin to the right neighbor's
+        # interior head
+        n = lax.psum(1, axis_name)
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        bwd = [(i + 1, i) for i in range(n - 1)]
+
+        # right margin -> right neighbor's head rows [pw, 2pw)
+        acc_from_left = lax.ppermute(acc[-pw:], axis_name, fwd)
+        div_from_left = lax.ppermute(div[-pw:], axis_name, fwd)
+        acc = acc.at[pw:2 * pw].add(acc_from_left)
+        div = div.at[pw:2 * pw].add(div_from_left)
+        # left margin -> left neighbor's tail rows [w_loc, w_loc+pw)
+        acc_from_right = lax.ppermute(acc[:pw], axis_name, bwd)
+        div_from_right = lax.ppermute(div[:pw], axis_name, bwd)
+        acc = acc.at[w_loc:w_loc + pw].add(acc_from_right)
+        div = div.at[w_loc:w_loc + pw].add(div_from_right)
+
+        interior_acc = acc[pw:w_loc + pw]
+        interior_div = div[pw:w_loc + pw]
+        return interior_acc / jnp.maximum(interior_div, 1e-8)
+
+    fn = shard_map(local_work, mesh=mesh,
+                   in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+                   out_specs=P(axis_name))
+    out = jax.jit(fn)(volume, jnp.asarray(locs), jnp.asarray(valid))
     return jnp.moveaxis(out, -1, 0)

@@ -100,3 +100,49 @@ class TestDistributedWithRealModel:
         a = sliding_window_inference(vol, model_fn, 8, 4, patch_batch=1)
         b = sliding_window_inference(vol, model_fn, 8, 4, patch_batch=4)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestShardedVolumeSlidingWindow:
+    def test_matches_unsharded_with_real_model(self, mesh):
+        """Volume W-sharded (never replicated): halo reads + margin-add
+        writes must reproduce the single-device result exactly."""
+        from segmentation_pipeline_tpu.models import NestedResUNet
+        from segmentation_pipeline_tpu.parallel.halo import (
+            sharded_volume_sliding_window,
+        )
+        from segmentation_pipeline_tpu.training.model import SegModel
+
+        model = SegModel(NestedResUNet(input_channels=1, output_channels=2,
+                                       filters=4))
+        vol = np.random.default_rng(5).normal(size=(1, 64, 16, 16)).astype(np.float32)
+        model.ensure_initialized(vol[None])
+        variables, module = model.variables, model.module
+
+        def model_fn(p):
+            return module.apply(variables, p, train=False)
+
+        single = sliding_window_inference(vol, model_fn, patch_size=8,
+                                          patch_overlap=4, patch_batch=1)
+        sharded = sharded_volume_sliding_window(vol, model_fn, patch_size=8,
+                                                patch_overlap=4, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                                   atol=1e-5)
+
+    def test_hann_mode_and_patch_dependent_model(self, mesh):
+        from segmentation_pipeline_tpu.parallel.halo import (
+            sharded_volume_sliding_window,
+        )
+        import jax.numpy as jnp
+
+        def model_fn(p):
+            return p + jnp.mean(p, axis=(1, 2, 3, 4), keepdims=True)
+
+        vol = np.random.default_rng(6).normal(size=(2, 32, 12, 8)).astype(np.float32)
+        single = sliding_window_inference(vol, model_fn, patch_size=4,
+                                          patch_overlap=2, patch_batch=1,
+                                          mode="hann")
+        sharded = sharded_volume_sliding_window(vol, model_fn, patch_size=4,
+                                                patch_overlap=2, mode="hann",
+                                                mesh=mesh)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                                   atol=1e-5)
