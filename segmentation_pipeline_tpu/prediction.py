@@ -100,7 +100,8 @@ class PatchPredict(Predictor):
 
     def __init__(self, image_names: Sequence[str] = ("X",), patch_batch_size: int = 16,
                  patch_size=None, patch_overlap=(0, 0, 0), padding_mode=None,
-                 overlap_mode: str = "average", shape_bucket: int = 0):
+                 overlap_mode: str = "average", shape_bucket: int = 0,
+                 mesh=None, volume_sharded: bool = False):
         self.image_names = list(image_names)
         self.patch_batch_size = patch_batch_size
         self.patch_size = patch_size
@@ -111,6 +112,11 @@ class PatchPredict(Predictor):
         # this value before the fused sliding window, so ragged subject shapes
         # share compiled programs (XLA static shapes; SURVEY §7 bucket-and-pad)
         self.shape_bucket = shape_bucket
+        # mesh: run the sliding window SPMD over the device mesh —
+        # patch-grid sharded (volume replicated), or with volume_sharded=True
+        # the volume itself is W-sharded (for volumes beyond one chip's HBM)
+        self.mesh = mesh
+        self.volume_sharded = volume_sharded
 
     def predict(self, model, subjects, label_attributes=None):
         mode = "average" if self.overlap_mode == "average" else self.overlap_mode
@@ -144,10 +150,22 @@ class PatchPredict(Predictor):
                 else:
                     volume = np.pad(volume, pad, mode="constant",
                                     constant_values=float(self.padding_mode))
-            y_pred = sliding_window_inference(
-                volume, model_fn, patch_size=patch_size,
-                patch_overlap=self.patch_overlap,
-                patch_batch=self.patch_batch_size, mode=mode)
+            if self.mesh is not None:
+                from .parallel.halo import (
+                    distributed_sliding_window,
+                    sharded_volume_sliding_window,
+                )
+
+                window_fn = (sharded_volume_sliding_window if self.volume_sharded
+                             else distributed_sliding_window)
+                y_pred = window_fn(volume, model_fn, patch_size=patch_size,
+                                   patch_overlap=self.patch_overlap,
+                                   mode=mode, mesh=self.mesh)
+            else:
+                y_pred = sliding_window_inference(
+                    volume, model_fn, patch_size=patch_size,
+                    patch_overlap=self.patch_overlap,
+                    patch_batch=self.patch_batch_size, mode=mode)
             y_np = np.asarray(y_pred)
             if padded:
                 y_np = y_np[:, :spatial[0], :spatial[1], :spatial[2]]

@@ -146,3 +146,31 @@ class TestShardedVolumeSlidingWindow:
                                                 mesh=mesh)
         np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                    atol=1e-5)
+
+
+class TestPatchPredictOnMesh:
+    def test_patch_predict_mesh_matches_single(self, mesh):
+        import copy
+
+        from segmentation_pipeline_tpu.prediction import PatchPredict
+        from tests.conftest import make_subject
+        import jax.numpy as jnp
+
+        def model(x):
+            x = jnp.asarray(x)
+            fg = (x[:, 0:1] > 0).astype(jnp.float32)
+            return jnp.concatenate([1 - fg, fg], axis=1)
+
+        s = make_subject(spatial_shape=(16, 16, 16), name="s0")
+        s["X"] = copy.deepcopy(s["img"])
+        single, _ = PatchPredict(image_names=["X"], patch_size=8,
+                                 patch_overlap=4, patch_batch_size=1
+                                 ).predict(model, [copy.deepcopy(s)])
+        for volume_sharded in (False, True):
+            multi, _ = PatchPredict(image_names=["X"], patch_size=8,
+                                    patch_overlap=4, mesh=mesh,
+                                    volume_sharded=volume_sharded
+                                    ).predict(model, [copy.deepcopy(s)])
+            np.testing.assert_allclose(
+                np.asarray(multi[0]["y_pred"].data),
+                np.asarray(single[0]["y_pred"].data), atol=1e-5)
