@@ -161,7 +161,8 @@ class TestPatchPredictOnMesh:
             fg = (x[:, 0:1] > 0).astype(jnp.float32)
             return jnp.concatenate([1 - fg, fg], axis=1)
 
-        s = make_subject(spatial_shape=(16, 16, 16), name="s0")
+        # W=64 so the volume-sharded case has local shards >= patch width
+        s = make_subject(spatial_shape=(64, 16, 16), name="s0")
         s["X"] = copy.deepcopy(s["img"])
         single, _ = PatchPredict(image_names=["X"], patch_size=8,
                                  patch_overlap=4, patch_batch_size=1
