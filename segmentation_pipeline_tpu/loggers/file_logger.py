@@ -43,10 +43,16 @@ def _to_loggable(value):
 
 class FileLogger(Logger):
     def __init__(self, logs_dir: str, use_tensorboard: bool = False,
-                 save_images: bool = True):
+                 save_images: bool = True, async_saves: bool = True):
         self.logs_dir = logs_dir
         self.use_tensorboard = use_tensorboard
         self.save_images = save_images
+        # checkpoint writes happen on a single worker thread: the state is
+        # snapshotted to host synchronously (cheap) and the pickle+disk write
+        # (the slow part) overlaps with training
+        self.async_saves = async_saves
+        self._save_executor = None
+        self._pending_save = None
         self.run_dir = None
         self.metrics_file = None
         self.tb_writer = None
@@ -71,7 +77,19 @@ class FileLogger(Logger):
         out_dir = self.run_dir / folder
         out_dir.mkdir(parents=True, exist_ok=True)
         path = out_dir / f"{context.name}-iter{iteration:08}.ckpt"
-        context.save(path)
+        if not self.async_saves:
+            context.save(path)
+            return path
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._save_executor is None:
+            self._save_executor = ThreadPoolExecutor(max_workers=1)
+        if self._pending_save is not None:
+            self._pending_save.result()  # one write in flight at a time
+        snapshot = context.snapshot()  # synchronous host materialization
+        self._pending_save = self._save_executor.submit(
+            type(context).write_snapshot, snapshot, path)
         return path
 
     def log(self, log_dict: dict):
@@ -117,6 +135,12 @@ class FileLogger(Logger):
         self.iteration += 1
 
     def close(self):
+        if self._pending_save is not None:
+            self._pending_save.result()
+            self._pending_save = None
+        if self._save_executor is not None:
+            self._save_executor.shutdown(wait=True)
+            self._save_executor = None
         if self.metrics_file is not None:
             self.metrics_file.close()
             self.metrics_file = None

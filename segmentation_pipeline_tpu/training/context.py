@@ -220,13 +220,16 @@ class Context:
         return param
 
     # ---- checkpointing -------------------------------------------------
-    def save(self, filename):
+    def snapshot(self) -> dict:
+        """Materialize the checkpoint payload on the host: state_dicts are
+        fetched (device arrays -> numpy) NOW so the caller may write the
+        pickle later/asynchronously while training continues."""
         for definition in self.component_definitions:
             component = self.__dict__.get(definition["name"])
             if component is not None and hasattr(component, "state_dict"):
                 definition["state_dict"] = component.state_dict()
 
-        checkpoint = dict(
+        return dict(
             name=self.name,
             component_definitions=[
                 {**d, "params": _make_picklable(d["params"])}
@@ -238,8 +241,14 @@ class Context:
             metadata=self.metadata,
             config=self.config,
         )
+
+    @staticmethod
+    def write_snapshot(checkpoint: dict, filename):
         with open(filename, "wb") as f:
             pickle.dump(checkpoint, f)
+
+    def save(self, filename):
+        self.write_snapshot(self.snapshot(), filename)
 
     def _enforce_not_loaded(self):
         if self.loaded:
