@@ -107,3 +107,40 @@ class TestCascadeConfig:
         # each CxC transition matrix is column-stochastic
         mat = y.reshape(1, 2, 2, *CROP)
         np.testing.assert_allclose(mat.sum(axis=1), 1.0, atol=1e-5)
+
+
+class TestTrainerStops:
+    def test_wall_clock_budget_stops_early(self, tmp_path):
+        """max_training_time with the save-buffer semantics stops the loop
+        (ref segmentation_trainer.py:110-115,270-275)."""
+        import time
+
+        root = tmp_path / "ds"
+        logs = tmp_path / "logs"
+        build_dataset(root)
+        context = build_context(root, logs)
+        context.init_components()
+        logger = FileLogger(str(logs))
+        t0 = time.time()
+        # 10s budget -> save buffer 1s -> ~9s of training, far fewer than 10^4 iters
+        context.trainer.train(context, max_iterations=10_000,
+                              max_training_time=10, logger=logger)
+        assert time.time() - t0 < 120
+        assert context.trainer.iteration < 10_000
+        # checkpoint-at-exit happened
+        assert list((logger.run_dir / "checkpoints").glob("*.ckpt"))
+
+    def test_early_stopping_on_no_improvement(self, tmp_path):
+        root = tmp_path / "ds"
+        logs = tmp_path / "logs"
+        build_dataset(root)
+        context = build_context(root, logs)
+        # score never improves -> stop after max_iterations_with_no_improvement
+        context.update_component("trainer", scoring_function=lambda d: 0.0,
+                                 max_iterations_with_no_improvement=3,
+                                 scoring_interval=1, save_rate=10 ** 9)
+        context.init_components()
+        logger = FileLogger(str(logs))
+        context.trainer.train(context, max_iterations=10_000, logger=logger)
+        # first score (iteration 0) sets the max; no improvement after
+        assert context.trainer.iteration <= 5
