@@ -31,20 +31,37 @@ def _triple(v):
 
 
 class Conv3d(nn.Module):
-    """torch-style Conv3d: features, kernel_size, stride, padding, bias."""
+    """torch-style Conv3d: features, kernel_size, stride, padding, bias.
+
+    With ``shard_axis_name`` set (3^3/s1/p1 convs only), the input's W axis
+    is assumed sharded over that mesh axis inside shard_map: a 1-voxel halo
+    exchange replaces the W padding, making the sharded conv exactly equal
+    to the unsharded one (parallel/halo.py building block).
+    """
 
     features: int
     kernel_size: Any = 3
     stride: Any = 1
     padding: Any = 0
     use_bias: bool = True
+    shard_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         k = _triple(self.kernel_size)
         cin = x.shape[-1]
         kernel = self.param("kernel", torch_conv_kernel_init, (*k, cin, self.features))
-        y = conv3d(x, kernel.astype(x.dtype), stride=self.stride, padding=self.padding)
+        if self.shard_axis_name is not None:
+            from ..parallel.halo import halo_exchange
+
+            assert k == (3, 3, 3) and _triple(self.stride) == (1, 1, 1) \
+                and _triple(self.padding) == (1, 1, 1), \
+                "sharded Conv3d supports the 3^3/s1/p1 case"
+            x = halo_exchange(x, 1, self.shard_axis_name, axis=1)
+            y = conv3d(x, kernel.astype(x.dtype), stride=1, padding=(0, 1, 1))
+        else:
+            y = conv3d(x, kernel.astype(x.dtype), stride=self.stride,
+                       padding=self.padding)
         if self.use_bias:
             fan_in = cin * k[0] * k[1] * k[2]
             bound = 1.0 / jnp.sqrt(fan_in)
@@ -172,10 +189,14 @@ class Block3d(nn.Module):
     conv_params: Optional[Dict] = None
     use_norm: bool = True
     activation: Callable = nn.relu
+    shard_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv_params = self.conv_params or {"kernel_size": 3, "padding": 1, "use_bias": False}
+        conv_params = dict(self.conv_params or
+                           {"kernel_size": 3, "padding": 1, "use_bias": False})
+        if self.shard_axis_name is not None:
+            conv_params.setdefault("shard_axis_name", self.shard_axis_name)
         x_in = x
         for i in range(self.num_convs):
             x = self.conv_class(features=self.features, **conv_params)(x)
@@ -185,6 +206,7 @@ class Block3d(nn.Module):
             x = self.activation(x)
         if self.residual:
             x = Conv3d(features=self.features, kernel_size=3, padding=1, use_bias=True,
+                       shard_axis_name=self.shard_axis_name,
                        name="res_conv")(x_in) + x
         if self.dropout_p > 0.0:
             # Dropout3d: drop entire channels (broadcast over spatial dims)

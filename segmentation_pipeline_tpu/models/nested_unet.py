@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.convolution import avg_pool3d, upsample_trilinear2x
+from ..ops.convolution import (
+    avg_pool3d,
+    upsample_trilinear2x,
+    upsample_trilinear2x_sharded,
+)
 from .components import Block3d, Conv3d, Softmax
 
 
@@ -29,6 +33,12 @@ class NestedResUNet(nn.Module):
     remat: bool = False
     """Rematerialize blocks under grad (jax.checkpoint) to cut activation
     memory at the cost of recompute."""
+    spatial_shard_axis: Optional[str] = None
+    """Run on volumes whose W axis is sharded over this mesh axis (inside
+    shard_map): convs halo-exchange, the upsample is global-index aware, and
+    pooling stays local (shard boundaries align with even indices). The
+    whole forward then never materializes the full volume on one device —
+    see parallel/sharded_model.py."""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -36,9 +46,14 @@ class NestedResUNet(nn.Module):
         block_cls = (nn.remat(Block3d, static_argnums=(2,))
                      if self.remat else Block3d)
         block = lambda residual, name: block_cls(  # noqa: E731
-            features=f, residual=residual, dropout_p=self.dropout_p, name=name)
+            features=f, residual=residual, dropout_p=self.dropout_p,
+            shard_axis_name=self.spatial_shard_axis, name=name)
         down = lambda t: avg_pool3d(t, 2, 2)  # noqa: E731
-        up = lambda t: upsample_trilinear2x(t, align_corners=True)  # noqa: E731
+        if self.spatial_shard_axis is not None:
+            up = lambda t: upsample_trilinear2x_sharded(  # noqa: E731
+                t, self.spatial_shard_axis)
+        else:
+            up = lambda t: upsample_trilinear2x(t, align_corners=True)  # noqa: E731
         cat = lambda *ts: jnp.concatenate(ts, axis=-1)  # noqa: E731
 
         x0_0 = block(True, "conv0_0")(x, train)
@@ -55,6 +70,7 @@ class NestedResUNet(nn.Module):
         x0_3 = block(True, "conv0_3")(cat(x0_2, up(x1_2)), train)
 
         x_out = Conv3d(features=self.output_channels, kernel_size=3, padding=1,
+                       shard_axis_name=self.spatial_shard_axis,
                        name="out_conv")(x0_3)
         hypothesis = self.hypothesis_class(**(self.hypothesis_params or {}))
         return hypothesis(x_out)

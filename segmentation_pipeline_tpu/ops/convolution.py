@@ -160,3 +160,41 @@ def resize_trilinear(x: jax.Array, out_spatial: Tuple[int, int, int],
         if x.shape[axis] != size:
             x = _interp_axis(x, axis, size, align_corners)
     return x
+
+
+def upsample_trilinear2x_sharded(x: jax.Array, axis_name: str) -> jax.Array:
+    """Trilinear 2x upsample (align_corners=True) with the W axis sharded
+    over ``axis_name`` inside shard_map.
+
+    H and D use the standard interpolation matmuls; W interpolation is
+    global-index aware: align-corners source positions are computed from the
+    global W size and gathered from a 1-voxel halo-extended local shard, so
+    the result is exactly the unsharded upsample, W-sharded.
+    x: (N, W_local, H, D, C).
+    """
+    from ..parallel.halo import halo_exchange
+
+    n = lax.psum(1, axis_name)
+    d = lax.axis_index(axis_name)
+    w_loc = x.shape[1]
+    w_in = n * w_loc
+    w_out = 2 * w_in
+
+    x_ext = halo_exchange(x, 1, axis_name, axis=1)  # (N, w_loc+2, H, D, C)
+
+    g = jnp.arange(2 * w_loc, dtype=jnp.float32) + (d * 2 * w_loc).astype(jnp.float32)
+    src = g * (w_in - 1) / (w_out - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, w_in - 1)
+    frac = (src - lo.astype(jnp.float32)).astype(x.dtype)
+
+    base = (d * w_loc).astype(jnp.int32)
+    a = jnp.take(x_ext, lo - base + 1, axis=1)
+    b = jnp.take(x_ext, hi - base + 1, axis=1)
+    shape = (1, 2 * w_loc, 1, 1, 1)
+    out = a * (1 - frac).reshape(shape) + b * frac.reshape(shape)
+
+    # H, D axes are local: standard interpolation matmuls
+    for axis in (2, 3):
+        out = _interp_axis(out, axis, out.shape[axis] * 2, align_corners=True)
+    return out

@@ -30,9 +30,11 @@ from jax.experimental.shard_map import shard_map
 from ..ops.sliding_window import grid_locations, hann_window
 
 
-def halo_exchange(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
-    """Inside shard_map: x is the local (W_local, ...) shard; returns
-    (W_local + 2*halo, ...) with neighbor halos (zero-padded at the ends).
+def halo_exchange(x: jax.Array, halo: int, axis_name: str,
+                  axis: int = 0) -> jax.Array:
+    """Inside shard_map: x is the local shard with ``axis`` sharded; returns
+    x widened by ``halo`` rows of neighbor data on each side of that axis
+    (zero-padded at the global ends).
 
     Left neighbor's last ``halo`` rows are prepended; right neighbor's first
     ``halo`` rows appended — one bidirectional ppermute pair over ICI.
@@ -40,15 +42,17 @@ def halo_exchange(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
     n = lax.psum(1, axis_name)
     idx = lax.axis_index(axis_name)
 
-    send_right = x[-halo:]
-    send_left = x[:halo]
+    x_m = jnp.moveaxis(x, axis, 0)
+    send_right = x_m[-halo:]
+    send_left = x_m[:halo]
     from_left = lax.ppermute(send_right, axis_name,
                              [(i, i + 1) for i in range(n - 1)])
     from_right = lax.ppermute(send_left, axis_name,
                               [(i + 1, i) for i in range(n - 1)])
     from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
     from_right = jnp.where(idx == n - 1, jnp.zeros_like(from_right), from_right)
-    return jnp.concatenate([from_left, x, from_right], axis=0)
+    out = jnp.concatenate([from_left, x_m, from_right], axis=0)
+    return jnp.moveaxis(out, 0, axis)
 
 
 def sharded_conv3d(x: jax.Array, kernel: jax.Array, mesh: Mesh,

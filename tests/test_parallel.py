@@ -175,3 +175,37 @@ class TestPatchPredictOnMesh:
             np.testing.assert_allclose(
                 np.asarray(multi[0]["y_pred"].data),
                 np.asarray(single[0]["y_pred"].data), atol=1e-5)
+
+
+class TestSpatialShardedUNet:
+    def test_full_network_sharded_forward_matches_unsharded(self, mesh):
+        """The whole NestedResUNet forward on a W-sharded volume (halo convs,
+        local pooling, global-index upsample) must equal the unsharded
+        forward to numerical precision."""
+        from segmentation_pipeline_tpu.models import NestedResUNet
+        from segmentation_pipeline_tpu.parallel.sharded_model import (
+            spatial_sharded_inference,
+        )
+        from segmentation_pipeline_tpu.training.model import SegModel
+
+        model = SegModel(NestedResUNet(input_channels=2, output_channels=3,
+                                       filters=4))
+        # W = 8 devices * 8 (three pooling levels) = 64
+        vol = np.random.default_rng(7).normal(size=(2, 64, 16, 8)).astype(np.float32)
+        direct = np.asarray(model(vol[None]))[0]  # (3, 64, 16, 8)
+        sharded = np.asarray(spatial_sharded_inference(model, vol, mesh))
+        assert sharded.shape == direct.shape
+        np.testing.assert_allclose(sharded, direct, atol=2e-5)
+
+    def test_rejects_misaligned_width(self, mesh):
+        from segmentation_pipeline_tpu.models import NestedResUNet
+        from segmentation_pipeline_tpu.parallel.sharded_model import (
+            spatial_sharded_inference,
+        )
+        from segmentation_pipeline_tpu.training.model import SegModel
+
+        model = SegModel(NestedResUNet(input_channels=1, output_channels=2,
+                                       filters=4))
+        vol = np.zeros((1, 48, 16, 8), np.float32)  # 48 % 64 != 0
+        with pytest.raises(ValueError):
+            spatial_sharded_inference(model, vol, mesh)
