@@ -52,7 +52,7 @@ def main():
     state, loss_dict, _ = step(state, device_batch, rng)
     jax.block_until_ready(loss_dict["loss"])
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "60"))
     t0 = time.time()
     for _ in range(n_steps):
         rng, sub = jax.random.split(rng)
