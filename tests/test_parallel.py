@@ -209,3 +209,53 @@ class TestSpatialShardedUNet:
         vol = np.zeros((1, 48, 16, 8), np.float32)  # 48 % 64 != 0
         with pytest.raises(ValueError):
             spatial_sharded_inference(model, vol, mesh)
+
+
+class TestSpatialShardedGradients:
+    def test_grads_flow_exactly_through_halo_forward(self, mesh):
+        """jax differentiates the ppermute halo exchanges: parameter grads of
+        a loss over the W-sharded forward equal the unsharded grads — the
+        basis for spatially-sharded whole-volume TRAINING (volumes beyond
+        one chip's HBM)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from segmentation_pipeline_tpu.models import NestedResUNet
+        from segmentation_pipeline_tpu.training.model import SegModel
+
+        model = SegModel(NestedResUNet(input_channels=1, output_channels=2,
+                                       filters=4))
+        vol = np.random.default_rng(0).normal(size=(1, 1, 64, 16, 8)
+                                              ).astype(np.float32)
+        x_cl = jnp.moveaxis(jnp.asarray(vol), 1, -1)
+        model.ensure_initialized(jnp.asarray(vol))
+        module, variables = model.module, model.variables
+        sharded = module.clone(spatial_shard_axis="data")
+        target = jnp.zeros((1, 64, 16, 8, 2)).at[..., 1].set(1.0)
+
+        def loss_unsharded(params):
+            y = module.apply({"params": params,
+                              "batch_stats": variables["batch_stats"]},
+                             x_cl, train=False)
+            return ((y - target) ** 2).mean()
+
+        def loss_sharded(params):
+            def local(params, x, t):
+                y = sharded.apply({"params": params,
+                                   "batch_stats": variables["batch_stats"]},
+                                  x, train=False)
+                return lax.psum(((y - t) ** 2).sum(), "data")
+
+            f = shard_map(local, mesh=mesh,
+                          in_specs=(P(), P(None, "data"), P(None, "data")),
+                          out_specs=P())
+            return f(params, x_cl, target) / target.size
+
+        g1 = jax.grad(loss_unsharded)(variables["params"])
+        g2 = jax.grad(loss_sharded)(variables["params"])
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
