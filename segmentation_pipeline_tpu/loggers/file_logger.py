@@ -93,6 +93,10 @@ class FileLogger(Logger):
         return path
 
     def log(self, log_dict: dict):
+        # honor a caller-provided iteration (the trainer stamps its real one,
+        # which survives resume) and fall back to a local counter
+        iteration = log_dict.get("iteration", self.iteration)
+        self.iteration = int(iteration)
         record = {"iteration": self.iteration}
         images = {}
 

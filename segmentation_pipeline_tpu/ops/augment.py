@@ -115,7 +115,10 @@ def random_affine_warp(key, x, y, scales=0.2, degrees=45.0, pad_value=0.0):
     y_out = None
     if y is not None:
         y_out = trilinear_sample(y, warped, nearest=True)
-        y_out = jnp.where(oob[..., None], 0.0, y_out)
+        # out-of-bounds label voxels become BACKGROUND, keeping one-hot
+        # targets valid (all-zero vectors would un-supervise those voxels)
+        background = jnp.zeros((y.shape[-1],), y.dtype).at[0].set(1.0)
+        y_out = jnp.where(oob[..., None], background, y_out)
     return x_out, y_out
 
 
@@ -200,7 +203,10 @@ DEFAULT_CONFIG = dict(
 
 
 def _augment_one(key, x, y, cfg: Dict):
-    keys = jax.random.split(key, 8)
+    # independent keys for every apply-decision AND every parameter draw:
+    # reusing a decision key for the draw would truncate and correlate the
+    # conditional distributions
+    keys = jax.random.split(key, 11)
     x, y = random_flip(keys[0], x, y, axes=cfg["flip_axes"])
 
     if cfg["affine_p"] > 0:
@@ -212,24 +218,24 @@ def _augment_one(key, x, y, cfg: Dict):
 
     if cfg["elastic_p"] > 0:
         do = jax.random.uniform(keys[3]) < cfg["elastic_p"]
-        x2, y2 = random_elastic_warp(keys[3], x, y,
+        x2, y2 = random_elastic_warp(keys[4], x, y,
                                      max_displacement=cfg["elastic_max_displacement"])
         x = jnp.where(do, x2, x)
         y = jnp.where(do, y2, y) if y is not None else None
 
     if cfg["bias_p"] > 0:
-        do = jax.random.uniform(keys[4]) < cfg["bias_p"]
-        x = jnp.where(do, random_bias_field(keys[4], x, cfg["bias_coefficients"]), x)
+        do = jax.random.uniform(keys[5]) < cfg["bias_p"]
+        x = jnp.where(do, random_bias_field(keys[6], x, cfg["bias_coefficients"]), x)
 
     x = rescale_intensity(x, 0.0, 1.0, (0.01, 99.9))
     if cfg["gamma_p"] > 0:
-        do = jax.random.uniform(keys[5]) < cfg["gamma_p"]
-        x = jnp.where(do, random_gamma(keys[5], x, cfg["log_gamma"]), x)
+        do = jax.random.uniform(keys[7]) < cfg["gamma_p"]
+        x = jnp.where(do, random_gamma(keys[8], x, cfg["log_gamma"]), x)
     x = rescale_intensity(x, -1.0, 1.0)
 
     if cfg["noise_p"] > 0:
-        do = jax.random.uniform(keys[6]) < cfg["noise_p"]
-        x = jnp.where(do, random_noise(keys[6], x, cfg["noise_std"]), x)
+        do = jax.random.uniform(keys[9]) < cfg["noise_p"]
+        x = jnp.where(do, random_noise(keys[10], x, cfg["noise_std"]), x)
 
     x = rescale_intensity(x, *cfg["rescale"], cfg["rescale_percentiles"])
     return x, y

@@ -65,11 +65,16 @@ def _pad_locations(locations: np.ndarray, batch: int) -> Tuple[np.ndarray, np.nd
 @partial(jax.jit, static_argnames=("model_fn", "patch_size", "patch_batch", "mode",
                                    "out_channels"))
 def _sliding_window_jit(volume: jnp.ndarray, locations: jnp.ndarray,
-                        validity: jnp.ndarray, model_fn,
+                        validity: jnp.ndarray, model_args, model_fn,
                         patch_size: Tuple[int, int, int],
                         patch_batch: int, mode: str, out_channels: int):
     """volume: (W, H, D, C). locations: (L, 3) padded to patch_batch multiple;
-    validity: (L,) 1/0 weight gate for padded duplicate locations."""
+    validity: (L,) 1/0 weight gate for padded duplicate locations.
+
+    model_fn is a STATIC argument keyed into the jit cache — callers must
+    reuse the same function object across calls (see sliding_window_inference)
+    — while ``model_args`` (e.g. network variables) are traced, so weight
+    updates don't require recompilation and never go stale."""
     W, H, D, _ = volume.shape
     pw, ph, pd = patch_size
 
@@ -91,7 +96,7 @@ def _sliding_window_jit(volume: jnp.ndarray, locations: jnp.ndarray,
             lambda loc: lax.dynamic_slice(
                 volume, (loc[0], loc[1], loc[2], 0), (pw, ph, pd, volume.shape[3]))
         )(loc_batch)
-        preds = model_fn(patches)  # (B, pw, ph, pd, out_channels)
+        preds = model_fn(patches, *model_args)  # (B, pw, ph, pd, out_channels)
 
         def scatter(carry, args):
             acc, div = carry
@@ -114,17 +119,22 @@ def _sliding_window_jit(volume: jnp.ndarray, locations: jnp.ndarray,
 
 def sliding_window_inference(
     volume_cf: jnp.ndarray,
-    model_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    model_fn: Callable[..., jnp.ndarray],
     patch_size,
     patch_overlap=(0, 0, 0),
     patch_batch: int = 8,
     mode: str = "average",
     out_channels: int = None,
+    model_args=(),
 ) -> jnp.ndarray:
     """volume_cf: (C, W, H, D) single volume; model_fn maps channels-last
-    patch batches (B, pw, ph, pd, C) -> (B, pw, ph, pd, C_out).  Returns
-    (C_out, W, H, D) aggregated prediction. ``mode``: 'average' (uniform
-    overlap-add, tio default) or 'hann'.
+    patch batches (B, pw, ph, pd, C) [, *model_args] -> (B, pw, ph, pd, C_out).
+    Returns (C_out, W, H, D) aggregated prediction. ``mode``: 'average'
+    (uniform overlap-add, tio default) or 'hann'.
+
+    model_fn is a static jit key: reuse the SAME function object across calls
+    to avoid recompiles, and pass anything that changes between calls
+    (network variables) via ``model_args`` so it is traced, not baked in.
     """
     if isinstance(patch_size, int):
         patch_size = (patch_size,) * 3
@@ -140,9 +150,10 @@ def sliding_window_inference(
     if out_channels is None:
         probe = jax.eval_shape(
             model_fn, jax.ShapeDtypeStruct((patch_batch, *patch_size, volume.shape[3]),
-                                           jnp.float32))
+                                           jnp.float32), *model_args)
         out_channels = probe.shape[-1]
 
     out = _sliding_window_jit(volume, jnp.asarray(locations), jnp.asarray(validity),
-                              model_fn, patch_size, patch_batch, mode, out_channels)
+                              tuple(model_args), model_fn, patch_size, patch_batch,
+                              mode, out_channels)
     return jnp.moveaxis(out, -1, 0)

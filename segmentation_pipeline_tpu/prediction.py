@@ -118,16 +118,43 @@ class PatchPredict(Predictor):
         self.mesh = mesh
         self.volume_sharded = volume_sharded
 
+    # static model_fns cached per flax module so repeated predict() calls hit
+    # the jit cache (the network variables are passed as traced args — fresh
+    # weights every call, no staleness, no recompiles for repeated shapes)
+    _module_fns: dict = {}
+
+    @classmethod
+    def _fn_for_module(cls, module):
+        fn = cls._module_fns.get(id(module))
+        if fn is None:
+            def fn(patches_cl, variables, _module=module):
+                return _module.apply(variables, patches_cl, train=False)
+
+            cls._module_fns[id(module)] = fn
+        return fn
+
     def predict(self, model, subjects, label_attributes=None):
         mode = "average" if self.overlap_mode == "average" else self.overlap_mode
         patch_size = self.patch_size
         if isinstance(patch_size, int):
             patch_size = (patch_size,) * 3
 
-        def model_fn(patches_cl):
-            # channels-last patches -> model wrapper speaks channel-first
-            y = model(jnp.moveaxis(patches_cl, -1, 1))
-            return jnp.moveaxis(y, 1, -1)
+        if hasattr(model, "module") and hasattr(model, "variables"):
+            # SegModel fast path: variables traced, function object cached
+            model.ensure_initialized(
+                np.asarray(subjects[0]["X"].data)[None]) if model.variables is None \
+                else None
+            model_fn = self._fn_for_module(model.module)
+            model_args = (model.variables,)
+        else:
+            # generic callables (ensembles, test doubles): closure path —
+            # correct but recompiles when the callable changes
+            def model_fn(patches_cl):
+                # channels-last patches -> model wrapper speaks channel-first
+                y = model(jnp.moveaxis(patches_cl, -1, 1))
+                return jnp.moveaxis(y, 1, -1)
+
+            model_args = ()
 
         out_subjects = []
         preds = []
@@ -156,16 +183,24 @@ class PatchPredict(Predictor):
                     sharded_volume_sliding_window,
                 )
 
+                # the distributed paths take a no-extra-arg model_fn
+                if model_args:
+                    variables = model_args[0]
+                    base_fn = model_fn
+                    dist_fn = lambda p: base_fn(p, variables)  # noqa: E731
+                else:
+                    dist_fn = model_fn
                 window_fn = (sharded_volume_sliding_window if self.volume_sharded
                              else distributed_sliding_window)
-                y_pred = window_fn(volume, model_fn, patch_size=patch_size,
+                y_pred = window_fn(volume, dist_fn, patch_size=patch_size,
                                    patch_overlap=self.patch_overlap,
                                    mode=mode, mesh=self.mesh)
             else:
                 y_pred = sliding_window_inference(
                     volume, model_fn, patch_size=patch_size,
                     patch_overlap=self.patch_overlap,
-                    patch_batch=self.patch_batch_size, mode=mode)
+                    patch_batch=self.patch_batch_size, mode=mode,
+                    model_args=model_args)
             y_np = np.asarray(y_pred)
             if padded:
                 y_np = y_np[:, :spatial[0], :spatial[1], :spatial[2]]

@@ -125,8 +125,14 @@ class Context:
                         f"Environment variable ${var} was defined as an input to this "
                         f"context but is not set; the previously used value {value!r} "
                         f"will be used instead.")
-            checkpoint["variables"].update(self.variables)
-            self.variables = checkpoint["variables"]
+            # checkpoint variables are fallbacks only: explicit user
+            # variables win, then values already in the OS environment —
+            # never clobber an env var the user set (e.g. a new DATASET_PATH
+            # on a different machine)
+            merged = dict(checkpoint["variables"])
+            merged.update({k: v for k, v in os.environ.items() if k in merged})
+            merged.update(self.variables)
+            self.variables = merged
             self.file_paths = checkpoint["file_paths"]
             self.metadata = checkpoint["metadata"]
 

@@ -319,6 +319,7 @@ class SegmentationTrainer:
                     timer.stamp("save_best_checkpoint")
 
             log_dict["timer"] = dict(timer.timestamps)
+            log_dict["iteration"] = self.iteration
             logger.log(log_dict)
 
             iterations_with_no_improvement = self.iteration - self.max_score_iteration

@@ -22,18 +22,34 @@ import numpy as np
 from ..core.subject import Image, Subject
 from ..utils.misc import as_list, auto_str
 
-# Module-level RNG: reference augmentations use the unseeded global RNG;
-# seed_all() gives deterministic runs when wanted.
-_GLOBAL_RNG = np.random.default_rng()
+# Transform RNG: the reference uses the unseeded global RNG; here each
+# thread gets its own Generator spawned from a shared SeedSequence so loader
+# worker threads never race on one BitGenerator's state (numpy Generators
+# are not thread-safe).  seed_all() resets the sequence for deterministic
+# single-threaded runs; multi-threaded runs are deterministic per thread
+# but subject order still depends on scheduling.
+import threading as _threading
+
+_RNG_LOCK = _threading.Lock()
+_SEED_SEQ = np.random.SeedSequence()
+_THREAD_LOCAL = _threading.local()
+_EPOCH = 0
 
 
 def seed_all(seed: int):
-    global _GLOBAL_RNG
-    _GLOBAL_RNG = np.random.default_rng(seed)
+    global _SEED_SEQ, _EPOCH
+    with _RNG_LOCK:
+        _SEED_SEQ = np.random.SeedSequence(seed)
+        _EPOCH += 1
 
 
 def get_rng() -> np.random.Generator:
-    return _GLOBAL_RNG
+    if getattr(_THREAD_LOCAL, "epoch", None) != _EPOCH:
+        with _RNG_LOCK:
+            child = _SEED_SEQ.spawn(1)[0]
+        _THREAD_LOCAL.rng = np.random.default_rng(child)
+        _THREAD_LOCAL.epoch = _EPOCH
+    return _THREAD_LOCAL.rng
 
 
 class TransformRecord:

@@ -355,3 +355,44 @@ class TestShapeBucketing:
             b = np.asarray(bucketed[0]["y_pred"].data)
             assert a.shape == b.shape == (2, *shape)
             np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestPatchPredictSegModelPath:
+    def test_weight_updates_are_fresh_and_program_is_cached(self):
+        """Regression: PatchPredict's SegModel fast path passes variables as a
+        traced argument — updated weights must show up in the next predict()
+        without retracing the fused sliding-window program."""
+        import jax
+        from segmentation_pipeline_tpu.models import NestedResUNet
+        from segmentation_pipeline_tpu.training.model import SegModel
+
+        module = NestedResUNet(input_channels=1, output_channels=2, filters=4)
+        model = SegModel(module)
+        s = make_subject(spatial_shape=(16, 16, 16), name="s0")
+        s["X"] = s["img"]
+        predictor = PatchPredict(image_names=["X"], patch_size=8,
+                                 patch_overlap=4, patch_batch_size=4)
+
+        out1, _ = predictor.predict(model, [s])
+        pred1 = np.asarray(out1[0]["y_pred"].data)
+
+        # mutate the weights: predictions must change (no baked-in constants)
+        model.update_variables(jax.tree_util.tree_map(
+            lambda p: p * 2.0 + 0.1, model.params))
+        s2 = make_subject(spatial_shape=(16, 16, 16), name="s0")
+        s2["X"] = s2["img"]
+        out2, _ = predictor.predict(model, [s2])
+        pred2 = np.asarray(out2[0]["y_pred"].data)
+        assert not np.allclose(pred1, pred2), "stale weights in cached program"
+
+        # fresh predictor instance, same module: must agree with out2 exactly
+        out3, _ = PatchPredict(image_names=["X"], patch_size=8,
+                               patch_overlap=4, patch_batch_size=4
+                               ).predict(model, [s2])
+        np.testing.assert_allclose(np.asarray(out3[0]["y_pred"].data), pred2,
+                                   atol=1e-6)
+
+        # the static model_fn is cached per module -> one shared fn object
+        fn_a = PatchPredict._fn_for_module(module)
+        fn_b = PatchPredict._fn_for_module(module)
+        assert fn_a is fn_b
