@@ -79,8 +79,13 @@ from .evaluators import (
 )
 from .training import (
     Adam,
+    collate_to_device,
     Context,
+    create_train_state,
+    make_spatial_train_step,
+    make_train_step,
     Ref,
+    TrainState,
     ScheduledEvaluation,
     SegmentationTrainer,
     SegModel,

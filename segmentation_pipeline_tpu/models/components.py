@@ -190,6 +190,10 @@ class Block3d(nn.Module):
     use_norm: bool = True
     activation: Callable = nn.relu
     shard_axis_name: Optional[str] = None
+    bn_axis_name: Any = None
+    """Mesh axis name(s) BatchNorm batch statistics are pmean'd over when
+    training inside shard_map (spatial and/or data axes); cross-shard sync
+    makes sharded-training BN stats exactly match the unsharded program."""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -202,7 +206,8 @@ class Block3d(nn.Module):
             x = self.conv_class(features=self.features, **conv_params)(x)
             if self.use_norm:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, axis_name=None, dtype=x.dtype)(x)
+                                 epsilon=1e-5, axis_name=self.bn_axis_name,
+                                 dtype=x.dtype)(x)
             x = self.activation(x)
         if self.residual:
             x = Conv3d(features=self.features, kernel_size=3, padding=1, use_bias=True,

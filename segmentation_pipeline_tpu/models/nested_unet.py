@@ -39,6 +39,9 @@ class NestedResUNet(nn.Module):
     pooling stays local (shard boundaries align with even indices). The
     whole forward then never materializes the full volume on one device —
     see parallel/sharded_model.py."""
+    bn_axis_name: Any = None
+    """Mesh axis name(s) for cross-shard BatchNorm statistics when training
+    inside shard_map (see training/train_step.py make_spatial_train_step)."""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -47,7 +50,8 @@ class NestedResUNet(nn.Module):
                      if self.remat else Block3d)
         block = lambda residual, name: block_cls(  # noqa: E731
             features=f, residual=residual, dropout_p=self.dropout_p,
-            shard_axis_name=self.spatial_shard_axis, name=name)
+            shard_axis_name=self.spatial_shard_axis,
+            bn_axis_name=self.bn_axis_name, name=name)
         down = lambda t: avg_pool3d(t, 2, 2)  # noqa: E731
         if self.spatial_shard_axis is not None:
             up = lambda t: upsample_trilinear2x_sharded(  # noqa: E731

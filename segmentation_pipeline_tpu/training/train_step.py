@@ -9,11 +9,14 @@ collective here by design.
 """
 from __future__ import annotations
 
+import copy
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
+from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .model import to_channels_last
@@ -115,3 +118,87 @@ def collate_to_device(batch_cf: Dict[str, Any], mesh: Optional[Mesh] = None,
         sharding = NamedSharding(mesh, P(data_axis))
         out = {k: jax.device_put(v, sharding) for k, v in out.items()}
     return out
+
+
+def make_spatial_train_step(module, criterion, optimizer, mesh: Mesh,
+                            spatial_axis: str = "spatial",
+                            data_axis: Optional[str] = None):
+    """Train step on W-sharded volumes — the scaling path for volumes whose
+    activations exceed one chip's HBM (the training counterpart of
+    parallel/sharded_model.py's sharded inference).
+
+    The module is cloned with ``spatial_shard_axis`` (every conv
+    halo-exchanges its margin over ICI; pooling stays shard-local; the
+    trilinear upsample is global-index aware) and ``bn_axis_name`` (BatchNorm
+    batch statistics pmean'd across shards — exactly the unsharded stats).
+    The criterion completes its per-sample reductions with psums, so the loss
+    — and therefore every device's gradient contribution — matches the
+    unsharded program; a final grads psum yields the exact global gradient.
+
+    Params and optimizer state stay replicated; ``batch_cl['X']/['y']`` are
+    (N, W, H, D, C) with W sharded over ``spatial_axis`` (and N over
+    ``data_axis`` when given).  Returns the same (state, loss_dict, y_pred)
+    signature as make_train_step; y_pred comes back sharded.
+
+    Requires W divisible by mesh[spatial_axis] * 2^levels (8 for
+    NestedResUNet) so pooling boundaries align with shard boundaries.
+    """
+    axes = tuple(a for a in (data_axis, spatial_axis) if a is not None)
+    sharded_module = module.clone(spatial_shard_axis=spatial_axis,
+                                  bn_axis_name=axes if len(axes) > 1 else spatial_axis)
+    crit = copy.copy(criterion)
+    crit.spatial_axis_name = spatial_axis
+    crit.batch_axis_name = data_axis
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out = sharded_module.apply(variables, batch["X"], train=True,
+                                   rngs={"dropout": rng}, mutable=mutable)
+        if mutable:
+            y_pred, new_vars = out
+            new_batch_stats = new_vars.get("batch_stats", batch_stats)
+        else:
+            y_pred, new_batch_stats = out, batch_stats
+        loss_dict = crit(y_pred, batch["y"])
+        return loss_dict["loss"], (loss_dict, new_batch_stats, y_pred)
+
+    def local_step(state: TrainState, batch, rng):
+        levels = getattr(sharded_module, "pooling_levels", 3)
+        if batch["X"].shape[1] % (2 ** levels) != 0:
+            raise ValueError(
+                f"Per-shard W slab of {batch['X'].shape[1]} voxels is not "
+                f"divisible by 2^{levels}: shard-local pooling needs W "
+                f"divisible by mesh[{spatial_axis!r}] * {2 ** levels} "
+                f"(= {mesh.shape[spatial_axis] * 2 ** levels})")
+        if data_axis is not None:
+            # distinct dropout masks per data shard; spatial shards of the
+            # same sample must keep identical channel masks, so no fold
+            # over the spatial axis
+            rng = jax.random.fold_in(rng, lax.axis_index(data_axis))
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (loss_dict, new_batch_stats, y_pred)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng)
+        # the loss is replicated (the criterion completed it with psums), so
+        # under shard_map's replication tracking jax's transpose rules emit
+        # the cross-shard grad psums automatically — no manual psum here
+        # (adding one would double-count; verified exact vs the unsharded
+        # step in tests/test_parallel.py)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_batch_stats,
+                               opt_state=new_opt_state)
+        return new_state, loss_dict, y_pred
+
+    batch_spec = P(data_axis, spatial_axis)
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), {"X": batch_spec, "y": batch_spec}, P()),
+        out_specs=(P(), P(), batch_spec),
+    )
+    return jax.jit(step, donate_argnums=(0,))

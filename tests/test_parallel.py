@@ -259,3 +259,78 @@ class TestSpatialShardedGradients:
         for a, b in zip(jax.tree_util.tree_leaves(g1),
                         jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestSpatialShardedTraining:
+    """make_spatial_train_step must match the unsharded train step exactly:
+    same params, batch stats, and losses after several steps (BN batch
+    statistics pmean'd across shards, loss completed with psums, gradients
+    psum-assembled)."""
+
+    def _setup(self, n=2, W=32, C=2):
+        import optax
+        from segmentation_pipeline_tpu.criterions import HybridLogisticDiceLoss
+        from segmentation_pipeline_tpu.models import NestedResUNet
+        from segmentation_pipeline_tpu.training.model import SegModel
+        from segmentation_pipeline_tpu.training.train_step import (
+            create_train_state,
+            make_train_step,
+        )
+
+        module = NestedResUNet(input_channels=1, output_channels=C, filters=4)
+        model = SegModel(module)
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(n, 1, W, 16, 8)).astype(np.float32)
+        lab = (rng.random((n, W, 16, 8)) < 0.3).astype(np.float32)
+        y = np.stack([1 - lab, lab], axis=1)
+        model.ensure_initialized(X)
+        criterion = HybridLogisticDiceLoss()
+        optimizer = optax.sgd(1e-2)
+        state = create_train_state(model, optimizer, {"X": X})
+        batch = {"X": jnp.moveaxis(jnp.asarray(X), 1, -1),
+                 "y": jnp.moveaxis(jnp.asarray(y), 1, -1)}
+        ref_step = make_train_step(module, criterion, optimizer)
+        return module, criterion, optimizer, state, batch, ref_step
+
+    def _run_and_compare(self, mesh_shape, axis_names, spatial_axis, data_axis,
+                         n=2, W=32):
+        import jax
+        from jax.sharding import Mesh
+        from segmentation_pipeline_tpu.training.train_step import (
+            make_spatial_train_step,
+        )
+
+        module, criterion, optimizer, state, batch, ref_step = self._setup(
+            n=n, W=W)
+        devices = np.array(jax.devices()[:int(np.prod(mesh_shape))]).reshape(
+            mesh_shape)
+        mesh = Mesh(devices, axis_names)
+        sp_step = make_spatial_train_step(module, criterion, optimizer, mesh,
+                                          spatial_axis=spatial_axis,
+                                          data_axis=data_axis)
+        key = jax.random.PRNGKey(0)
+        # real copies: both steps donate their input state buffers
+        s_ref = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), state)
+        s_sp = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), state)
+        for i in range(3):
+            k = jax.random.fold_in(key, i)
+            s_ref, ld_ref, _ = ref_step(s_ref, batch, k)
+            s_sp, ld_sp, y_sp = sp_step(s_sp, batch, k)
+            np.testing.assert_allclose(float(ld_sp["loss"]),
+                                       float(ld_ref["loss"]), atol=1e-6)
+        for pa, pb in zip(jax.tree_util.tree_leaves(s_ref.params),
+                          jax.tree_util.tree_leaves(s_sp.params)):
+            np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
+                                       atol=2e-5)
+        for ba, bb in zip(jax.tree_util.tree_leaves(s_ref.batch_stats),
+                          jax.tree_util.tree_leaves(s_sp.batch_stats)):
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(ba),
+                                       atol=2e-5)
+        assert y_sp.shape == batch["X"].shape[:4] + (2,)
+
+    def test_spatial_only_mesh_matches_unsharded(self):
+        self._run_and_compare((4,), ("spatial",), "spatial", None, n=2, W=32)
+
+    def test_data_by_spatial_mesh_matches_unsharded(self):
+        self._run_and_compare((2, 2), ("data", "spatial"), "spatial", "data",
+                              n=2, W=16)
