@@ -59,12 +59,42 @@ class _FunctionPayload:
         return _FunctionPayload(cloudpickle.dumps(value))
 
 
+class _MeshRecipe:
+    """Picklable stand-in for a jax Mesh: device handles are process-local,
+    so checkpoints store the (axis_names, shape) recipe and rebuild over
+    this process's jax.devices() on restore."""
+
+    def __init__(self, axis_names, shape):
+        self.axis_names = tuple(axis_names)
+        self.shape = tuple(shape)
+
+    def build(self):
+        import jax
+        from jax.sharding import Mesh
+
+        n = int(np.prod(self.shape))
+        devices = jax.devices()
+        if len(devices) < n:
+            raise RuntimeError(
+                f"Checkpoint mesh {dict(zip(self.axis_names, self.shape))} "
+                f"needs {n} devices but only {len(devices)} are available")
+        return Mesh(np.asarray(devices[:n]).reshape(self.shape),
+                    self.axis_names)
+
+
 def _make_picklable(value):
     if isinstance(value, dict):
         return {k: _make_picklable(v) for k, v in value.items()}
     if isinstance(value, (list, tuple)):
         out = [_make_picklable(v) for v in value]
         return type(value)(out) if isinstance(value, tuple) else out
+    try:
+        from jax.sharding import Mesh as _Mesh
+
+        if isinstance(value, _Mesh):
+            return _MeshRecipe(value.axis_names, value.devices.shape)
+    except Exception:
+        pass
     try:
         pickle.dumps(value)
         return value
@@ -75,6 +105,8 @@ def _make_picklable(value):
 def _restore(value):
     if isinstance(value, _FunctionPayload):
         return value.load()
+    if isinstance(value, _MeshRecipe):
+        return value.build()
     if isinstance(value, dict):
         return {k: _restore(v) for k, v in value.items()}
     if isinstance(value, list):

@@ -108,14 +108,17 @@ def make_train_step(module, criterion, optimizer, mesh: Optional[Mesh] = None,
 
 
 def collate_to_device(batch_cf: Dict[str, Any], mesh: Optional[Mesh] = None,
-                      data_axis: str = "data") -> Dict[str, jnp.ndarray]:
+                      data_axis: Optional[str] = "data",
+                      spatial_axis: Optional[str] = None) -> Dict[str, jnp.ndarray]:
     """Channel-first host batch -> channels-last device batch, batch-sharded
     over the mesh when given (the host->device boundary; the TPU analog of
-    ref utils/utils.py:75-85 collate + .to(device))."""
+    ref utils/utils.py:75-85 collate + .to(device)).  With ``spatial_axis``
+    the W dimension is sharded too (the input layout for
+    make_spatial_train_step)."""
     out = {k: to_channels_last(jnp.asarray(v, dtype=jnp.float32))
            for k, v in batch_cf.items()}
     if mesh is not None:
-        sharding = NamedSharding(mesh, P(data_axis))
+        sharding = NamedSharding(mesh, P(data_axis, spatial_axis))
         out = {k: jax.device_put(v, sharding) for k, v in out.items()}
     return out
 

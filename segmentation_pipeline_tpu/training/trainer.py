@@ -27,7 +27,8 @@ from ..prediction import Predictor, _attach_prediction, add_evaluation_labels
 from ..utils.misc import auto_str, time_str_to_seconds
 from ..utils.timer import Timer
 from .model import to_channels_first
-from .train_step import TrainState, collate_to_device, make_train_step
+from .train_step import (TrainState, collate_to_device, make_spatial_train_step,
+                         make_train_step)
 
 EXIT = threading.Event()
 EXIT.clear()
@@ -74,7 +75,8 @@ class SegmentationTrainer:
                  train_predictor: Predictor, validation_predictor: Predictor,
                  train_dataloader_factory: DataLoaderFactory,
                  validation_dataloader_factory: DataLoaderFactory,
-                 mesh=None, device_augmentation: Optional[dict] = None):
+                 mesh=None, device_augmentation: Optional[dict] = None,
+                 spatial_axis: Optional[str] = None):
         self.training_batch_size = training_batch_size
         self.save_rate = save_rate
         self.scoring_interval = scoring_interval
@@ -91,11 +93,26 @@ class SegmentationTrainer:
         # optional fused on-device augmentation applied to each training
         # batch (ops/augment.py config dict; {} for defaults)
         self.device_augmentation = device_augmentation
+        # spatially-sharded training: shard each volume's W axis over this
+        # mesh axis and train through make_spatial_train_step (whole volumes
+        # beyond one chip's HBM; see docs/scaling.md). The mesh's 'data'
+        # axis (if present and >1) adds batch parallelism on top.
+        self.spatial_axis = spatial_axis
+        if spatial_axis is not None and mesh is None:
+            raise ValueError("spatial_axis requires a mesh")
 
         self.iteration = 0
         self.max_score = float("-inf")
         self.max_score_iteration = -1
         self._train_state: Optional[TrainState] = None
+
+    def _spatial_data_axis(self) -> Optional[str]:
+        """Batch axis accompanying spatial sharding: the mesh's 'data' axis
+        when it exists with size > 1."""
+        if self.mesh is not None and "data" in self.mesh.axis_names \
+                and self.mesh.shape["data"] > 1:
+            return "data"
+        return None
 
     # ---- checkpoint state ---------------------------------------------
     def state_dict(self):
@@ -199,6 +216,11 @@ class SegmentationTrainer:
                 "X": np.stack([np.asarray(s["X"].data) for s in subjects]).astype(np.float32),
                 "y": np.stack([np.asarray(s["y"].data) for s in subjects]).astype(np.float32),
             }
+            if self.spatial_axis is not None:
+                data_axis = self._spatial_data_axis()
+                return subjects, collate_to_device(
+                    batch_cf, mesh=self.mesh, data_axis=data_axis,
+                    spatial_axis=self.spatial_axis)
             return subjects, collate_to_device(batch_cf, mesh=self.mesh)
 
         pending = None  # (subjects, device_batch) prefetched last iteration
@@ -224,9 +246,15 @@ class SegmentationTrainer:
                 self._train_state = TrainState(
                     step=np.int32(self.iteration), params=model.params,
                     batch_stats=model.batch_stats, opt_state=opt_state)
-                train_step = make_train_step(model.module, criterion, optimizer,
-                                             mesh=self.mesh,
-                                             sagittal_split=sagittal_split)
+                if self.spatial_axis is not None:
+                    train_step = make_spatial_train_step(
+                        model.module, criterion, optimizer, self.mesh,
+                        spatial_axis=self.spatial_axis,
+                        data_axis=self._spatial_data_axis())
+                else:
+                    train_step = make_train_step(model.module, criterion,
+                                                 optimizer, mesh=self.mesh,
+                                                 sagittal_split=sagittal_split)
 
             if self.device_augmentation is not None:
                 from ..ops.augment import augment_batch

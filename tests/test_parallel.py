@@ -334,3 +334,70 @@ class TestSpatialShardedTraining:
     def test_data_by_spatial_mesh_matches_unsharded(self):
         self._run_and_compare((2, 2), ("data", "spatial"), "spatial", "data",
                               n=2, W=16)
+
+
+class TestTrainerSpatialSharding:
+    def test_trainer_trains_with_spatial_axis(self, tmp_path):
+        """SegmentationTrainer(spatial_axis=...) end to end: W-sharded
+        volumes through make_spatial_train_step inside the real loop."""
+        import json
+
+        import jax
+        from jax.sharding import Mesh
+
+        import segmentation_pipeline_tpu as sp
+
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            d = tmp_path / "subjects" / f"s{i}"
+            d.mkdir(parents=True)
+            img = rng.normal(scale=0.3, size=(1, 32, 16, 8)).astype(np.float32)
+            seg = np.zeros((1, 32, 16, 8), np.int16)
+            seg[:, 8:24, 4:12, 2:6] = 1
+            img[seg.astype(bool)] += 2.0
+            sp.write_nifti(d / "t1.nii.gz", img, np.eye(4))
+            sp.write_nifti(d / "seg.nii.gz", seg, np.eye(4))
+            (d / "attributes.json").write_text(json.dumps({"fold": 0}))
+
+        loader = sp.ComposeLoaders([
+            sp.ImageLoader(glob_pattern="t1.*", image_name="t1",
+                           image_constructor=sp.ScalarImage),
+            sp.ImageLoader(glob_pattern="seg.*", image_name="seg",
+                           image_constructor=sp.LabelMap,
+                           label_values={"fg": 1}),
+            sp.AttributeLoader(glob_pattern="attributes.*"),
+        ])
+        transforms = {"default": sp.Compose([
+            sp.ConcatenateImages(image_names=["t1"], image_channels=[1],
+                                 new_image_name="X"),
+            sp.RenameProperty(old_name="seg", new_name="y"),
+            sp.CustomOneHot(include=["y"]),
+        ])}
+        ctx = sp.Context(name="sp-shard", variables={"P": str(tmp_path)})
+        ctx.add_component("dataset", sp.SubjectFolder, root="$P",
+                          subject_path="subjects", subject_loader=loader,
+                          cohorts={"training": sp.RequireAttributes(["t1"])},
+                          transforms=transforms)
+        ctx.add_component("model", sp.NestedResUNet, input_channels=1,
+                          output_channels=2, filters=4)
+        ctx.add_component("optimizer", sp.Adam, lr=3e-3)
+        ctx.add_component("criterion", sp.HybridLogisticDiceLoss)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+        ctx.add_component(
+            "trainer", sp.SegmentationTrainer,
+            training_batch_size=2, save_rate=100, scoring_interval=100,
+            scoring_function=lambda d: 0.0, one_time_evaluators=[],
+            training_evaluators=[], validation_evaluators=[],
+            max_iterations_with_no_improvement=100,
+            train_predictor=sp.StandardPredict(image_names=["X", "y"]),
+            validation_predictor=sp.StandardPredict(image_names=["X"]),
+            train_dataloader_factory=sp.StandardDataLoader(
+                sampler=sp.RandomSampler),
+            validation_dataloader_factory=sp.StandardDataLoader(
+                sampler=sp.SequentialSampler),
+            mesh=mesh, spatial_axis="spatial")
+        ctx.init_components()
+        ctx.trainer.train(ctx, max_iterations=4)
+        assert ctx.trainer.iteration == 4
+        assert np.isfinite(np.asarray(ctx.trainer._train_state.params
+                                      ["out_conv"]["bias"])).all()
