@@ -21,28 +21,62 @@ STATS = ("target_volume", "prediction_volume", "TP", "FP", "TN", "FN",
 
 def confusion_stats(pred: np.ndarray, target: np.ndarray, label_values: dict) -> dict:
     """pred/target: (C, W, H, D) integer label maps. Returns
-    {stat: {label_name: value}} with float64 math (0/0 -> nan, x/0 -> inf,
-    matching torch's float division used by the reference)."""
+    {stat: {label_name: value}} with float math (0/0 -> nan, x/0 -> inf,
+    matching torch's float division used by the reference).
+
+    Fast path: one streaming C pass builds the (L+1)x(L+1) joint confusion
+    histogram (bucket L = values outside label_values) and every named
+    label's TP/FP/FN/TN falls out of it — O(voxels) regardless of label
+    count.  Falls back to per-label numpy boolean reductions when the
+    native library is unavailable."""
+    names = list(label_values.keys())
+    values = [int(label_values[n]) for n in names]
+    L = len(names)
+    pred = np.asarray(pred)
+    target = np.asarray(target)
+    n_vox = float(pred.size)
+
+    joint = None
+    vmax = max(max(values), 0)
+    if np.issubdtype(pred.dtype, np.integer) and \
+            np.issubdtype(target.dtype, np.integer) and vmax < 1 << 20:
+        from ..native import confusion_joint_hist_native
+
+        lut = np.full(vmax + 1, L, dtype=np.int32)
+        for i, v in enumerate(values):
+            if v >= 0:
+                lut[v] = i
+        joint = confusion_joint_hist_native(target, pred, lut, L)
+
     out = {stat: {} for stat in STATS}
-    n_vox = pred.size
-    with np.errstate(divide="ignore", invalid="ignore"):
-        for label_name, label_value in label_values.items():
-            p = pred == label_value
-            t = target == label_value
+    if joint is not None:
+        diag = np.diag(joint)[:L].astype(np.float64)
+        row = joint.sum(axis=1)[:L].astype(np.float64)  # target counts
+        col = joint.sum(axis=0)[:L].astype(np.float64)  # prediction counts
+        per_label = [(diag[i], row[i] - diag[i], col[i] - diag[i])
+                     for i in range(L)]
+    else:
+        per_label = []
+        for v in values:
+            p = pred == v
+            t = target == v
             tp = float(np.logical_and(t, p).sum())
             fp = float(np.logical_and(~t, p).sum())
             fn = float(np.logical_and(t, ~p).sum())
-            tn = float(n_vox - tp - fp - fn)
-            out["target_volume"][label_name] = tp + fn
-            out["prediction_volume"][label_name] = tp + fp
-            out["TP"][label_name] = tp
-            out["FP"][label_name] = fp
-            out["TN"][label_name] = tn
-            out["FN"][label_name] = fn
-            out["dice"][label_name] = _div(2 * tp, 2 * tp + fp + fn)
-            out["jaccard"][label_name] = _div(tp, tp + fp + fn)
-            out["precision"][label_name] = _div(tp, tp + fp)
-            out["recall"][label_name] = _div(tp, tp + fn)
+            per_label.append((tp, fn, fp))
+
+    for name, (tp, fn, fp) in zip(names, per_label):
+        tn = n_vox - tp - fp - fn
+        out["target_volume"][name] = tp + fn
+        out["prediction_volume"][name] = tp + fp
+        out["TP"][name] = tp
+        out["FP"][name] = fp
+        out["TN"][name] = tn
+        out["FN"][name] = fn
+        out["dice"][name] = _div(2 * tp, 2 * tp + fp + fn)
+        out["jaccard"][name] = _div(tp, tp + fp + fn)
+        out["precision"][name] = _div(tp, tp + fp)
+        out["recall"][name] = _div(tp, tp + fn)
     return out
 
 

@@ -43,10 +43,15 @@ def _to_loggable(value):
 
 class FileLogger(Logger):
     def __init__(self, logs_dir: str, use_tensorboard: bool = False,
-                 save_images: bool = True, async_saves: bool = True):
+                 save_images: bool = True, async_saves: bool = True,
+                 array_storage: str = "pickle"):
         self.logs_dir = logs_dir
         self.use_tensorboard = use_tensorboard
         self.save_images = save_images
+        # 'orbax': checkpoint arrays go to an orbax OCDBT store next to the
+        # pickle envelope (chunked tensorstore writes; the jax ecosystem's
+        # production checkpoint format) — see Context.write_snapshot
+        self.array_storage = array_storage
         # checkpoint writes happen on a single worker thread: the state is
         # snapshotted to host synchronously (cheap) and the pickle+disk write
         # (the slow part) overlaps with training
@@ -78,7 +83,7 @@ class FileLogger(Logger):
         out_dir.mkdir(parents=True, exist_ok=True)
         path = out_dir / f"{context.name}-iter{iteration:08}.ckpt"
         if not self.async_saves:
-            context.save(path)
+            context.save(path, array_storage=self.array_storage)
             return path
 
         from concurrent.futures import ThreadPoolExecutor
@@ -89,7 +94,7 @@ class FileLogger(Logger):
             self._pending_save.result()  # one write in flight at a time
         snapshot = context.snapshot()  # synchronous host materialization
         self._pending_save = self._save_executor.submit(
-            type(context).write_snapshot, snapshot, path)
+            type(context).write_snapshot, snapshot, path, self.array_storage)
         return path
 
     def log(self, log_dict: dict):

@@ -56,6 +56,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_uint8)]
         lib.nifti_read_payload.restype = ctypes.c_int64
+        lib.confusion_joint_hist.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
+        lib.confusion_joint_hist.restype = None
         lib.nifti_read_payload.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         _LIB = lib
@@ -138,3 +143,26 @@ def nifti_read_raw_native(path):
     if got != n_bytes:
         return None
     return bytes(raw352.tobytes()), payload
+
+
+def confusion_joint_hist_native(target: np.ndarray, pred: np.ndarray,
+                                lut: np.ndarray, L: int):
+    """(L+1)x(L+1) joint histogram of dense label indices in one C pass
+    (GIL released by ctypes). target/pred: int32 arrays of equal size;
+    lut: int32 value->index table. Returns None if the native lib is
+    unavailable."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(target.reshape(-1), dtype=np.int32)
+    p = np.ascontiguousarray(pred.reshape(-1), dtype=np.int32)
+    lut = np.ascontiguousarray(lut, dtype=np.int32)
+    counts = np.zeros((L + 1) * (L + 1), dtype=np.int64)
+    lib.confusion_joint_hist(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(t.size),
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(lut.size), ctypes.c_int32(L),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return counts.reshape(L + 1, L + 1)

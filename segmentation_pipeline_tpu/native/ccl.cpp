@@ -161,3 +161,23 @@ void component_counts(const int32_t* labels, int64_t n,
 }
 
 }  // extern "C"
+
+// Joint confusion histogram for segmentation metrics: one streaming pass
+// over int32 target/pred label maps. lut maps raw value -> dense index in
+// [0, L] (bucket L = "not a named label"); values outside [0, lut_len)
+// clamp into bucket L. counts: (L+1)*(L+1) int64, zeroed by the caller.
+extern "C" void confusion_joint_hist(const int32_t* target,
+                                     const int32_t* pred,
+                                     int64_t n,
+                                     const int32_t* lut, int64_t lut_len,
+                                     int32_t L,
+                                     int64_t* counts) {
+    const int64_t stride = (int64_t)L + 1;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t t = target[i];
+        int32_t p = pred[i];
+        int32_t ti = (t >= 0 && t < lut_len) ? lut[t] : L;
+        int32_t pi = (p >= 0 && p < lut_len) ? lut[p] : L;
+        counts[(int64_t)ti * stride + pi]++;
+    }
+}

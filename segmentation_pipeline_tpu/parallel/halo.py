@@ -80,9 +80,59 @@ def sharded_conv3d(x: jax.Array, kernel: jax.Array, mesh: Mesh,
     return fn(x, kernel)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _distributed_window_program(model_fn, patch_size, mode, out_channels,
+                                mesh, axis_name):
+    """Build (once per static config) the jitted patch-grid-sharded
+    sliding-window program; jax's own shape-keyed jit cache then makes
+    repeated calls free.  model_fn must be a stable function object;
+    per-call values (network variables) ride in the traced ``model_args``."""
+    pw, ph, pd = patch_size
+
+    def local_work(volume, locs, valid, model_args):
+        W, H, D = volume.shape[:3]
+        if mode == "hann":
+            weight = jnp.asarray(hann_window(patch_size))[..., None]
+        else:
+            weight = jnp.ones((pw, ph, pd, 1), jnp.float32)
+        acc = jnp.zeros((W, H, D, out_channels), jnp.float32)
+        div = jnp.zeros((W, H, D, 1), jnp.float32)
+        # mark as device-varying so the scan carry type matches the body
+        # output (locs differ per device)
+        acc = lax.pvary(acc, (axis_name,))
+        div = lax.pvary(div, (axis_name,))
+
+        def body(carry, inputs):
+            loc, v = inputs
+            acc, div = carry
+            patch = lax.dynamic_slice(volume, (loc[0], loc[1], loc[2], 0),
+                                      (pw, ph, pd, volume.shape[3]))
+            pred = model_fn(patch[None], *model_args)[0]
+            w = weight * v
+            start = (loc[0], loc[1], loc[2], 0)
+            cur = lax.dynamic_slice(acc, start, (pw, ph, pd, out_channels))
+            acc = lax.dynamic_update_slice(acc, cur + pred * w, start)
+            curd = lax.dynamic_slice(div, start, (pw, ph, pd, 1))
+            div = lax.dynamic_update_slice(div, curd + w, start)
+            return (acc, div), None
+
+        (acc, div), _ = lax.scan(body, (acc, div), (locs, valid))
+        acc = lax.psum(acc, axis_name)
+        div = lax.psum(div, axis_name)
+        return acc / jnp.maximum(div, 1e-8)
+
+    fn = shard_map(local_work, mesh=mesh,
+                   in_specs=(P(), P(axis_name), P(axis_name), P()),
+                   out_specs=P())
+    return jax.jit(fn)
+
+
 def distributed_sliding_window(
     volume_cf: jax.Array,
-    model_fn: Callable[[jax.Array], jax.Array],
+    model_fn: Callable[..., jax.Array],
     patch_size,
     patch_overlap=(0, 0, 0),
     patch_batch: int = 1,
@@ -90,10 +140,15 @@ def distributed_sliding_window(
     mesh: Mesh = None,
     axis_name: str = "data",
     out_channels: int = None,
+    model_args=(),
 ) -> jax.Array:
     """Whole-volume sliding-window inference with the patch grid sharded
     across the mesh. volume_cf: (C, W, H, D); model_fn maps channels-last
-    patch batches. Returns (C_out, W, H, D) on the host sharding layout.
+    patch batches [, *model_args]. Returns (C_out, W, H, D).
+
+    The compiled program is cached per (model_fn, patch config, mesh):
+    reuse the same model_fn object across calls and pass network variables
+    via ``model_args`` so weight updates don't recompile or go stale.
     """
     if isinstance(patch_size, int):
         patch_size = (patch_size,) * 3
@@ -120,32 +175,45 @@ def distributed_sliding_window(
 
     if out_channels is None:
         probe = jax.eval_shape(model_fn, jax.ShapeDtypeStruct(
-            (1, *patch_size, volume.shape[3]), jnp.float32))
+            (1, *patch_size, volume.shape[3]), jnp.float32), *model_args)
         out_channels = probe.shape[-1]
 
+    fn = _distributed_window_program(model_fn, patch_size, mode,
+                                     int(out_channels), mesh, axis_name)
+    out = fn(volume, jnp.asarray(locations_sharded), jnp.asarray(validity),
+             tuple(model_args))
+    return jnp.moveaxis(out, -1, 0)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_volume_window_program(model_fn, patch_size, mode, out_channels,
+                                   mesh, axis_name):
+    """Jitted W-sharded sliding-window program, cached per static config
+    (same contract as _distributed_window_program)."""
     pw, ph, pd = patch_size
-    W, H, D = spatial
 
-    if mode == "hann":
-        weight = jnp.asarray(hann_window(patch_size))[..., None]
-    else:
-        weight = jnp.ones((pw, ph, pd, 1), jnp.float32)
+    def local_work(vol_local, locs, valid, model_args):
+        w_loc, H, D, C = vol_local.shape
+        if mode == "hann":
+            weight = jnp.asarray(hann_window(patch_size))[..., None]
+        else:
+            weight = jnp.ones((pw, ph, pd, 1), jnp.float32)
+        # vol_local: (w_loc, H, D, C) shard; widen by pw on each side
+        vol_ext = halo_exchange(vol_local, pw, axis_name)  # (w_loc+2pw, ...)
+        locs = locs[0]
+        valid = valid[0]
 
-    def local_work(volume, locs, valid):
-        # volume replicated; locs: (per_dev, 3) local shard; valid: (per_dev,)
-        acc = jnp.zeros((W, H, D, out_channels), jnp.float32)
-        div = jnp.zeros((W, H, D, 1), jnp.float32)
-        # mark as device-varying so the scan carry type matches the body
-        # output (locs differ per device)
+        acc = jnp.zeros((w_loc + 2 * pw, H, D, out_channels), jnp.float32)
+        div = jnp.zeros((w_loc + 2 * pw, H, D, 1), jnp.float32)
         acc = lax.pvary(acc, (axis_name,))
         div = lax.pvary(div, (axis_name,))
 
         def body(carry, inputs):
             loc, v = inputs
             acc, div = carry
-            patch = lax.dynamic_slice(volume, (loc[0], loc[1], loc[2], 0),
-                                      (pw, ph, pd, volume.shape[3]))
-            pred = model_fn(patch[None])[0]
+            patch = lax.dynamic_slice(vol_ext, (loc[0], loc[1], loc[2], 0),
+                                      (pw, ph, pd, C))
+            pred = model_fn(patch[None], *model_args)[0]
             w = weight * v
             start = (loc[0], loc[1], loc[2], 0)
             cur = lax.dynamic_slice(acc, start, (pw, ph, pd, out_channels))
@@ -155,27 +223,45 @@ def distributed_sliding_window(
             return (acc, div), None
 
         (acc, div), _ = lax.scan(body, (acc, div), (locs, valid))
-        acc = lax.psum(acc, axis_name)
-        div = lax.psum(div, axis_name)
-        return acc / jnp.maximum(div, 1e-8)
+
+        # write-margin exchange: our left margin belongs to the left
+        # neighbor's interior tail; our right margin to the right neighbor's
+        # interior head
+        n = lax.psum(1, axis_name)
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        bwd = [(i + 1, i) for i in range(n - 1)]
+
+        # right margin -> right neighbor's head rows [pw, 2pw)
+        acc_from_left = lax.ppermute(acc[-pw:], axis_name, fwd)
+        div_from_left = lax.ppermute(div[-pw:], axis_name, fwd)
+        acc = acc.at[pw:2 * pw].add(acc_from_left)
+        div = div.at[pw:2 * pw].add(div_from_left)
+        # left margin -> left neighbor's tail rows [w_loc, w_loc+pw)
+        acc_from_right = lax.ppermute(acc[:pw], axis_name, bwd)
+        div_from_right = lax.ppermute(div[:pw], axis_name, bwd)
+        acc = acc.at[w_loc:w_loc + pw].add(acc_from_right)
+        div = div.at[w_loc:w_loc + pw].add(div_from_right)
+
+        interior_acc = acc[pw:w_loc + pw]
+        interior_div = div[pw:w_loc + pw]
+        return interior_acc / jnp.maximum(interior_div, 1e-8)
 
     fn = shard_map(local_work, mesh=mesh,
-                   in_specs=(P(), P(axis_name), P(axis_name)),
-                   out_specs=P())
-    out = jax.jit(fn)(volume, jnp.asarray(locations_sharded),
-                      jnp.asarray(validity))
-    return jnp.moveaxis(out, -1, 0)
+                   in_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
+                   out_specs=P(axis_name))
+    return jax.jit(fn)
 
 
 def sharded_volume_sliding_window(
     volume_cf: jax.Array,
-    model_fn: Callable[[jax.Array], jax.Array],
+    model_fn: Callable[..., jax.Array],
     patch_size,
     patch_overlap=(0, 0, 0),
     mode: str = "average",
     mesh: Mesh = None,
     axis_name: str = "data",
     out_channels: int = None,
+    model_args=(),
 ) -> jax.Array:
     """Sliding-window inference with the volume itself W-sharded across the
     mesh — no device ever holds the full volume, so volumes larger than one
@@ -224,65 +310,11 @@ def sharded_volume_sliding_window(
 
     if out_channels is None:
         probe = jax.eval_shape(model_fn, jax.ShapeDtypeStruct(
-            (1, pw, ph, pd, C), jnp.float32))
+            (1, pw, ph, pd, C), jnp.float32), *model_args)
         out_channels = probe.shape[-1]
 
-    if mode == "hann":
-        weight = jnp.asarray(hann_window((pw, ph, pd)))[..., None]
-    else:
-        weight = jnp.ones((pw, ph, pd, 1), jnp.float32)
-
-    def local_work(vol_local, locs, valid):
-        # vol_local: (1*w_loc, H, D, C) shard; widen by pw on each side
-        vol_ext = halo_exchange(vol_local, pw, axis_name)  # (w_loc+2pw, ...)
-        locs = locs[0]
-        valid = valid[0]
-
-        acc = jnp.zeros((w_loc + 2 * pw, H, D, out_channels), jnp.float32)
-        div = jnp.zeros((w_loc + 2 * pw, H, D, 1), jnp.float32)
-        acc = lax.pvary(acc, (axis_name,))
-        div = lax.pvary(div, (axis_name,))
-
-        def body(carry, inputs):
-            loc, v = inputs
-            acc, div = carry
-            patch = lax.dynamic_slice(vol_ext, (loc[0], loc[1], loc[2], 0),
-                                      (pw, ph, pd, C))
-            pred = model_fn(patch[None])[0]
-            w = weight * v
-            start = (loc[0], loc[1], loc[2], 0)
-            cur = lax.dynamic_slice(acc, start, (pw, ph, pd, out_channels))
-            acc = lax.dynamic_update_slice(acc, cur + pred * w, start)
-            curd = lax.dynamic_slice(div, start, (pw, ph, pd, 1))
-            div = lax.dynamic_update_slice(div, curd + w, start)
-            return (acc, div), None
-
-        (acc, div), _ = lax.scan(body, (acc, div), (locs, valid))
-
-        # write-margin exchange: our left margin belongs to the left
-        # neighbor's interior tail; our right margin to the right neighbor's
-        # interior head
-        n = lax.psum(1, axis_name)
-        fwd = [(i, i + 1) for i in range(n - 1)]
-        bwd = [(i + 1, i) for i in range(n - 1)]
-
-        # right margin -> right neighbor's head rows [pw, 2pw)
-        acc_from_left = lax.ppermute(acc[-pw:], axis_name, fwd)
-        div_from_left = lax.ppermute(div[-pw:], axis_name, fwd)
-        acc = acc.at[pw:2 * pw].add(acc_from_left)
-        div = div.at[pw:2 * pw].add(div_from_left)
-        # left margin -> left neighbor's tail rows [w_loc, w_loc+pw)
-        acc_from_right = lax.ppermute(acc[:pw], axis_name, bwd)
-        div_from_right = lax.ppermute(div[:pw], axis_name, bwd)
-        acc = acc.at[w_loc:w_loc + pw].add(acc_from_right)
-        div = div.at[w_loc:w_loc + pw].add(div_from_right)
-
-        interior_acc = acc[pw:w_loc + pw]
-        interior_div = div[pw:w_loc + pw]
-        return interior_acc / jnp.maximum(interior_div, 1e-8)
-
-    fn = shard_map(local_work, mesh=mesh,
-                   in_specs=(P(axis_name), P(axis_name), P(axis_name)),
-                   out_specs=P(axis_name))
-    out = jax.jit(fn)(volume, jnp.asarray(locs), jnp.asarray(valid))
+    fn = _sharded_volume_window_program(model_fn, (pw, ph, pd), mode,
+                                        int(out_channels), mesh, axis_name)
+    out = fn(volume, jnp.asarray(locs), jnp.asarray(valid),
+             tuple(model_args))
     return jnp.moveaxis(out, -1, 0)

@@ -183,18 +183,12 @@ class PatchPredict(Predictor):
                     sharded_volume_sliding_window,
                 )
 
-                # the distributed paths take a no-extra-arg model_fn
-                if model_args:
-                    variables = model_args[0]
-                    base_fn = model_fn
-                    dist_fn = lambda p: base_fn(p, variables)  # noqa: E731
-                else:
-                    dist_fn = model_fn
                 window_fn = (sharded_volume_sliding_window if self.volume_sharded
                              else distributed_sliding_window)
-                y_pred = window_fn(volume, dist_fn, patch_size=patch_size,
+                y_pred = window_fn(volume, model_fn, patch_size=patch_size,
                                    patch_overlap=self.patch_overlap,
-                                   mode=mode, mesh=self.mesh)
+                                   mode=mode, mesh=self.mesh,
+                                   model_args=model_args)
             else:
                 y_pred = sliding_window_inference(
                     volume, model_fn, patch_size=patch_size,

@@ -145,6 +145,7 @@ class Context:
         if file_path is not None:
             with open(file_path, "rb") as f:
                 checkpoint = pickle.load(f)
+            checkpoint = self._load_orbax_arrays(checkpoint, file_path)
             self.name = checkpoint["name"]
             self.component_definitions = checkpoint["component_definitions"]
             self.creation_time = checkpoint["creation_time"]
@@ -281,12 +282,53 @@ class Context:
         )
 
     @staticmethod
-    def write_snapshot(checkpoint: dict, filename):
+    def write_snapshot(checkpoint: dict, filename, array_storage: str = "pickle"):
+        """array_storage='orbax' splits the array-heavy component state_dicts
+        out of the pickle into an orbax OCDBT store at <filename>.arrays/ —
+        production checkpointing (chunked, concurrent, integrity-checked
+        tensorstore writes; the jax ecosystem's standard format). The pickle
+        keeps the config/metadata envelope and is restored transparently by
+        Context(file_path=...)."""
+        if array_storage == "orbax":
+            import orbax.checkpoint as ocp
+
+            state_dicts = {}
+            defs = []
+            for i, d in enumerate(checkpoint["component_definitions"]):
+                if "state_dict" in d and d["state_dict"]:
+                    state_dicts[str(i)] = d["state_dict"]
+                    d = {k: v for k, v in d.items() if k != "state_dict"}
+                    d["state_dict_in_arrays"] = True
+                defs.append(d)
+            checkpoint = {**checkpoint, "component_definitions": defs,
+                          "array_storage": "orbax"}
+            arrays_dir = os.path.abspath(str(filename) + ".arrays")
+            if state_dicts:
+                with ocp.PyTreeCheckpointer() as ckptr:
+                    ckptr.save(arrays_dir, state_dicts, force=True)
         with open(filename, "wb") as f:
             pickle.dump(checkpoint, f)
 
-    def save(self, filename):
-        self.write_snapshot(self.snapshot(), filename)
+    @staticmethod
+    def _load_orbax_arrays(checkpoint: dict, filename):
+        if checkpoint.get("array_storage") != "orbax":
+            return checkpoint
+        import orbax.checkpoint as ocp
+
+        arrays_dir = os.path.abspath(str(filename) + ".arrays")
+        needed = any(d.pop("state_dict_in_arrays", False)
+                     for d in checkpoint["component_definitions"])
+        if not needed:
+            return checkpoint
+        with ocp.PyTreeCheckpointer() as ckptr:
+            state_dicts = ckptr.restore(arrays_dir)
+        for i, d in enumerate(checkpoint["component_definitions"]):
+            if str(i) in state_dicts:
+                d["state_dict"] = state_dicts[str(i)]
+        return checkpoint
+
+    def save(self, filename, array_storage: str = "pickle"):
+        self.write_snapshot(self.snapshot(), filename, array_storage)
 
     def _enforce_not_loaded(self):
         if self.loaded:

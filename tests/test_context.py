@@ -82,3 +82,53 @@ class TestContext:
         cfg = ctx.get_config()
         assert cfg["a.size"] == 3
         assert cfg["a.label"] == "hello"
+
+
+class TestOrbaxArrayStorage:
+    def test_orbax_checkpoint_roundtrip(self, tmp_path):
+        """array_storage='orbax' splits state arrays into an OCDBT store and
+        Context(file_path=...) restores them transparently."""
+        import numpy as np
+
+        import segmentation_pipeline_tpu as sp
+
+        ctx = sp.Context(name="orb", variables={})
+        ctx.add_component("model", sp.NestedResUNet, input_channels=1,
+                          output_channels=2, filters=4)
+        ctx.init_components()
+        ctx.model.ensure_initialized(np.zeros((1, 1, 16, 16, 8), np.float32))
+        p0 = np.asarray(ctx.model.params["out_conv"]["bias"])
+
+        path = tmp_path / "ck.ckpt"
+        ctx.save(path, array_storage="orbax")
+        assert (tmp_path / "ck.ckpt.arrays").exists()
+        # the pickle envelope must stay tiny (arrays live in the store)
+        assert path.stat().st_size < 100_000
+
+        ctx2 = sp.Context(file_path=str(path))
+        ctx2.init_components()
+        np.testing.assert_array_equal(
+            np.asarray(ctx2.model.params["out_conv"]["bias"]), p0)
+
+    def test_filelogger_orbax_saves(self, tmp_path):
+        import numpy as np
+
+        import segmentation_pipeline_tpu as sp
+        from segmentation_pipeline_tpu.loggers import FileLogger
+
+        ctx = sp.Context(name="orb2", variables={})
+        ctx.add_component("model", sp.NestedResUNet, input_channels=1,
+                          output_channels=2, filters=4)
+        ctx.init_components()
+        ctx.model.ensure_initialized(np.zeros((1, 1, 16, 16, 8), np.float32))
+        logger = FileLogger(str(tmp_path), array_storage="orbax")
+        logger.setup(ctx)
+        path = logger.save_context(ctx, "checkpoints/", 0)
+        logger.close()
+        assert (str(path) + ".arrays") and (path.parent /
+                                            (path.name + ".arrays")).exists()
+        ctx2 = sp.Context(file_path=str(path))
+        ctx2.init_components()
+        np.testing.assert_array_equal(
+            np.asarray(ctx2.model.params["out_conv"]["bias"]),
+            np.asarray(ctx.model.params["out_conv"]["bias"]))

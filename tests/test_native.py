@@ -51,3 +51,37 @@ class TestPostProcessingUsesNative:
         img[1, 14, 14] = 1
         out, removed, elems = keep_components(img, 2)
         assert removed == 1
+
+
+class TestConfusionHistogram:
+    def test_native_confusion_stats_match_boolean_reference(self):
+        """confusion_stats' native joint-histogram fast path must agree with
+        per-label boolean reductions exactly — counts, ratios, and the
+        nan/inf division edges — including raw values outside label_values
+        and negative values."""
+        from segmentation_pipeline_tpu.evaluators.segmentation_evaluator import (
+            _div,
+            confusion_stats,
+        )
+
+        rng = np.random.default_rng(3)
+        label_values = {"bg": 0, "a": 2, "b": 5, "absent": 9}
+        vals = [-1, 0, 1, 2, 5, 7]
+        pred = rng.choice(vals, size=(1, 24, 20, 16)).astype(np.int32)
+        target = rng.choice(vals, size=(1, 24, 20, 16)).astype(np.int32)
+
+        got = confusion_stats(pred, target, label_values)
+        n_vox = pred.size
+        for name, v in label_values.items():
+            p = pred == v
+            t = target == v
+            tp = float(np.logical_and(t, p).sum())
+            fp = float(np.logical_and(~t, p).sum())
+            fn = float(np.logical_and(t, ~p).sum())
+            assert got["TP"][name] == tp
+            assert got["FP"][name] == fp
+            assert got["FN"][name] == fn
+            assert got["TN"][name] == n_vox - tp - fp - fn
+            want_dice = _div(2 * tp, 2 * tp + fp + fn)
+            gd = got["dice"][name]
+            assert (np.isnan(want_dice) and np.isnan(gd)) or want_dice == gd
