@@ -144,3 +144,44 @@ class TestTrainerStops:
         context.trainer.train(context, max_iterations=10_000, logger=logger)
         # first score (iteration 0) sets the max; no improvement after
         assert context.trainer.iteration <= 5
+
+
+class TestGradientAccumulation:
+    def test_accumulate_steps_defers_updates(self):
+        """Adam/SGD(accumulate_steps=k) average grads over k micro-batches
+        and apply one update (optax.MultiSteps under the torch-style config
+        surface) — beyond-HBM effective batch sizes."""
+        import jax
+        import jax.numpy as jnp
+
+        import segmentation_pipeline_tpu as sp
+        from segmentation_pipeline_tpu.training.train_step import (
+            create_train_state,
+            make_train_step,
+        )
+
+        module = sp.NestedResUNet(input_channels=1, output_channels=2,
+                                  filters=4)
+        model = sp.SegModel(module)
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(2, 1, 16, 16, 8)).astype(np.float32)
+        lab = (rng.random((2, 16, 16, 8)) < 0.3).astype(np.float32)
+        y = np.stack([1 - lab, lab], 1)
+        model.ensure_initialized(X)
+        opt = sp.Adam(lr=1e-3, accumulate_steps=2)
+        state = create_train_state(model, opt, {"X": X})
+        step = make_train_step(module, sp.HybridLogisticDiceLoss(), opt)
+        batch = {"X": jnp.moveaxis(jnp.asarray(X), 1, -1),
+                 "y": jnp.moveaxis(jnp.asarray(y), 1, -1)}
+        p0 = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, state.params))
+        state, _, _ = step(state, batch, jax.random.PRNGKey(0))
+        p1 = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, state.params))
+        assert all(np.array_equal(a, b) for a, b in zip(p0, p1)), \
+            "update applied before k micro-steps"
+        state, _, _ = step(state, batch, jax.random.PRNGKey(1))
+        p2 = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, state.params))
+        assert any(not np.array_equal(a, b) for a, b in zip(p0, p2)), \
+            "no update after k micro-steps"
