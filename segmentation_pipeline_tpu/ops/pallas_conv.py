@@ -17,6 +17,16 @@ Other shapes (strides != 1, other kernel sizes) fall back to XLA's conv,
 which is already MXU-tiled; ``pallas_conv3d`` returns None for those and the
 dispatcher in ops/convolution.py keeps the XLA path.  Select with
 SPT_CONV_BACKEND=pallas or ops.convolution.set_conv_backend('pallas').
+
+Measured on TPU v5e (dmri_hippo shape, on-device fori_loop timing): this
+kernel 7.7 TFLOP/s vs XLA 10.2 (f32) / 12.6 (bf16) — XLA stays the default.
+Variants tried and rejected: hoisted D-slices (no change — Mosaic already
+hoists); 9 D-preshifted slabs (VMEM OOM: lane padding 40->128 triples block
+memory); D-taps packed into a K=3*Cin=120 contraction with XLA-side packing
+(6.2 TFLOP/s: the 3x HBM/DMA traffic outweighs the MXU lane-utilization
+win).  The bound at C=40 is MXU lane padding (K=N=40 of 128); the remaining
+idea is channel-blocked model layouts (C a multiple of 128), which is a
+model-architecture choice, not a kernel fix.
 """
 from __future__ import annotations
 
