@@ -67,6 +67,7 @@ from .prediction import (
     Predictor,
     StandardPredict,
     add_evaluation_labels,
+    apply_stochastic_matrix,
 )
 from .evaluators import (
     ContourImageEvaluator,
@@ -94,6 +95,21 @@ from .training import (
 )
 from .transforms import *  # noqa: F401,F403
 from .utils import filter_kwargs, flatten_nested_dict, no_op, time_str_to_seconds
+from .utils.misc import auto_str, random_folds
+from .utils.dataset_files import prepare_dataset_files
+from .utils.timer import Timer
+from .utils.compact_json import CompactJSONEncoder
+from .utils.nn_unet_convert import save_dataset_as_nn_unet
+from .evaluators.instance_segmentation_evaluator import msseg_detection_test
+from .visualizations import vis_features, vis_model, vis_subject
+from .post_processing import (
+    keep_components,
+    remove_holes,
+    remove_small_components,
+    sort_by_size,
+    unsort_by_size,
+)
+from .typing import PathLike
 from . import post_processing
 from . import ops, parallel, native  # noqa: F401
 

@@ -124,13 +124,22 @@ class PatchPredict(Predictor):
     _module_fns: dict = {}
 
     @classmethod
-    def _fn_for_module(cls, module):
-        fn = cls._module_fns.get(id(module))
+    def _fn_for_module(cls, module, compute_dtype=None):
+        dtype = None
+        if compute_dtype is not None:
+            dtype = jnp.dtype(compute_dtype)
+            if dtype == jnp.dtype(jnp.float32):
+                dtype = None
+        key = (id(module), dtype)
+        fn = cls._module_fns.get(key)
         if fn is None:
-            def fn(patches_cl, variables, _module=module):
-                return _module.apply(variables, patches_cl, train=False)
+            def fn(patches_cl, variables, _module=module, _dtype=dtype):
+                if _dtype is not None:
+                    patches_cl = patches_cl.astype(_dtype)
+                y = _module.apply(variables, patches_cl, train=False)
+                return y.astype(jnp.float32)
 
-            cls._module_fns[id(module)] = fn
+            cls._module_fns[key] = fn
         return fn
 
     def predict(self, model, subjects, label_attributes=None):
@@ -144,7 +153,8 @@ class PatchPredict(Predictor):
             model.ensure_initialized(
                 np.asarray(subjects[0]["X"].data)[None]) if model.variables is None \
                 else None
-            model_fn = self._fn_for_module(model.module)
+            model_fn = self._fn_for_module(
+                model.module, getattr(model, "compute_dtype", None))
             model_args = (model.variables,)
         else:
             # generic callables (ensembles, test doubles): closure path —

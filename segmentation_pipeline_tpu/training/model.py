@@ -30,9 +30,13 @@ def to_channels_first(x):
 class SegModel:
     """Owns module + variables; lazily initialized from the first batch."""
 
-    def __init__(self, module, seed: int = 0):
+    def __init__(self, module, seed: int = 0, compute_dtype=None):
         self.module = module
         self.seed = seed
+        # mixed-precision inference: run the network in this dtype (e.g.
+        # 'bfloat16'); params stay float32, outputs are cast back to float32.
+        # Stored as a string/None so SegModel configs pickle cleanly.
+        self.compute_dtype = compute_dtype
         self.variables: Optional[Dict[str, Any]] = None
         self._eval_fn = None
 
@@ -66,10 +70,18 @@ class SegModel:
     # ---- inference -----------------------------------------------------
     def _build_eval_fn(self):
         module = self.module
+        dtype = None
+        if self.compute_dtype is not None:
+            dtype = jnp.dtype(self.compute_dtype)
+            if dtype == jnp.dtype(jnp.float32):
+                dtype = None
 
         @jax.jit
         def eval_fn(variables, x_cl):
-            return module.apply(variables, x_cl, train=False)
+            if dtype is not None:
+                x_cl = x_cl.astype(dtype)
+            y = module.apply(variables, x_cl, train=False)
+            return y.astype(jnp.float32)
 
         return eval_fn
 

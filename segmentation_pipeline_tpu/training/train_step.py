@@ -52,8 +52,20 @@ def _reverse_split_and_flip_cl(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([first, jnp.flip(second, axis=1)], axis=1)
 
 
+def _normalize_compute_dtype(compute_dtype):
+    """None stays None (full f32); strings like 'bfloat16' become dtypes.
+    Strings keep trainer configs picklable in Context checkpoints."""
+    if compute_dtype is None:
+        return None
+    dtype = jnp.dtype(compute_dtype)
+    if dtype == jnp.dtype(jnp.float32):
+        return None
+    return dtype
+
+
 def make_train_step(module, criterion, optimizer, mesh: Optional[Mesh] = None,
-                    data_axis: str = "data", sagittal_split: bool = False):
+                    data_axis: str = "data", sagittal_split: bool = False,
+                    compute_dtype=None):
     """Returns train_step(state, batch_cl, rng) -> (state, metrics, y_pred).
 
     batch_cl: {'X': (N, W, H, D, C), 'y': (N, W, H, D, C)} channels-last.
@@ -63,7 +75,15 @@ def make_train_step(module, criterion, optimizer, mesh: Optional[Mesh] = None,
     replicated; without one it is a plain single-device jit.  The (train-mode)
     prediction is returned for scheduled training evaluators
     (ref segmentation_trainer.py:182-191).
+
+    ``compute_dtype`` ('bfloat16' or a dtype) runs the network forward and
+    backward in that precision — the TPU-native mixed-precision recipe:
+    params, optimizer state, BatchNorm statistics (flax computes them in
+    f32 regardless of input dtype), the loss, and the returned prediction
+    all stay float32; only activations and conv compute drop precision.
+    The MXU accumulates bf16 matmuls in f32 internally.
     """
+    compute_dtype = _normalize_compute_dtype(compute_dtype)
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params}
@@ -72,6 +92,8 @@ def make_train_step(module, criterion, optimizer, mesh: Optional[Mesh] = None,
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
         x = batch["X"]
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
         if sagittal_split:
             x = _split_and_flip_cl(x)
         out = module.apply(variables, x, train=True,
@@ -83,6 +105,7 @@ def make_train_step(module, criterion, optimizer, mesh: Optional[Mesh] = None,
             y_pred, new_batch_stats = out, batch_stats
         if sagittal_split:
             y_pred = _reverse_split_and_flip_cl(y_pred)
+        y_pred = y_pred.astype(jnp.float32)
         loss_dict = criterion(y_pred, batch["y"])
         return loss_dict["loss"], (loss_dict, new_batch_stats, y_pred)
 
@@ -125,7 +148,8 @@ def collate_to_device(batch_cf: Dict[str, Any], mesh: Optional[Mesh] = None,
 
 def make_spatial_train_step(module, criterion, optimizer, mesh: Mesh,
                             spatial_axis: str = "spatial",
-                            data_axis: Optional[str] = None):
+                            data_axis: Optional[str] = None,
+                            compute_dtype=None):
     """Train step on W-sharded volumes — the scaling path for volumes whose
     activations exceed one chip's HBM (the training counterpart of
     parallel/sharded_model.py's sharded inference).
@@ -152,6 +176,7 @@ def make_spatial_train_step(module, criterion, optimizer, mesh: Mesh,
     crit = copy.copy(criterion)
     crit.spatial_axis_name = spatial_axis
     crit.batch_axis_name = data_axis
+    compute_dtype = _normalize_compute_dtype(compute_dtype)
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params}
@@ -159,13 +184,17 @@ def make_spatial_train_step(module, criterion, optimizer, mesh: Mesh,
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
-        out = sharded_module.apply(variables, batch["X"], train=True,
+        x = batch["X"]
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        out = sharded_module.apply(variables, x, train=True,
                                    rngs={"dropout": rng}, mutable=mutable)
         if mutable:
             y_pred, new_vars = out
             new_batch_stats = new_vars.get("batch_stats", batch_stats)
         else:
             y_pred, new_batch_stats = out, batch_stats
+        y_pred = y_pred.astype(jnp.float32)
         loss_dict = crit(y_pred, batch["y"])
         return loss_dict["loss"], (loss_dict, new_batch_stats, y_pred)
 

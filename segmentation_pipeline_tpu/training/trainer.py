@@ -76,7 +76,8 @@ class SegmentationTrainer:
                  train_dataloader_factory: DataLoaderFactory,
                  validation_dataloader_factory: DataLoaderFactory,
                  mesh=None, device_augmentation: Optional[dict] = None,
-                 spatial_axis: Optional[str] = None):
+                 spatial_axis: Optional[str] = None,
+                 compute_dtype: Optional[str] = None):
         self.training_batch_size = training_batch_size
         self.save_rate = save_rate
         self.scoring_interval = scoring_interval
@@ -100,6 +101,11 @@ class SegmentationTrainer:
         self.spatial_axis = spatial_axis
         if spatial_axis is not None and mesh is None:
             raise ValueError("spatial_axis requires a mesh")
+        # mixed-precision training: run the network fwd/bwd in this dtype
+        # (e.g. 'bfloat16' — the TPU-native half precision); params, optimizer
+        # state, BN statistics, and the loss stay float32 (train_step.py).
+        # A string keeps the trainer definition picklable in checkpoints.
+        self.compute_dtype = compute_dtype
 
         self.iteration = 0
         self.max_score = float("-inf")
@@ -250,11 +256,13 @@ class SegmentationTrainer:
                     train_step = make_spatial_train_step(
                         model.module, criterion, optimizer, self.mesh,
                         spatial_axis=self.spatial_axis,
-                        data_axis=self._spatial_data_axis())
+                        data_axis=self._spatial_data_axis(),
+                        compute_dtype=self.compute_dtype)
                 else:
                     train_step = make_train_step(model.module, criterion,
                                                  optimizer, mesh=self.mesh,
-                                                 sagittal_split=sagittal_split)
+                                                 sagittal_split=sagittal_split,
+                                                 compute_dtype=self.compute_dtype)
 
             if self.device_augmentation is not None:
                 from ..ops.augment import augment_batch

@@ -91,3 +91,64 @@ class TestSubject:
         subject["bad"] = ScalarImage(tensor=np.zeros((1, 2, 2, 2)))
         with pytest.raises(RuntimeError):
             subject.check_consistent_spatial_shape()
+
+
+class TestFacadeCompleteness:
+    def test_flat_facade_covers_reference_surface(self):
+        """Every public symbol of the reference's flat namespace
+        (ref segmentation_pipeline/__init__.py:1-26 + star-imported
+        submodules) has a counterpart on this facade."""
+        import segmentation_pipeline_tpu as sp
+
+        names = [
+            # data_processing
+            "SubjectFolder", "SubjectLoader", "AttributeLoader", "ImageLoader",
+            "TensorLoader", "ComposeLoaders", "SubjectFilter",
+            "RequireAttributes", "ForbidAttributes", "ComposeFilters",
+            "AnyFilter", "NegateFilter", "RandomSelectFilter",
+            "RandomFoldFilter", "StratifiedFilter", "get_dataset_fingerprint",
+            # transforms
+            "CustomRemapLabels", "CustomRemoveLabels", "CustomSequentialLabels",
+            "CustomOneHot", "CustomArgMax", "MergeLabels", "ConcatenateImages",
+            "SplitImage", "CopyProperty", "RenameProperty", "CropToMask",
+            "MinSizePad", "TargetResample", "PermuteDimensions",
+            "RandomPermuteDimensions", "EnforceConsistentAffine", "SetDataType",
+            "ReplaceNan", "FindInterestingSlice", "ImageFromLabels",
+            "ReconstructMeanDWI", "ReconstructMeanDWIClassic",
+            "filter_transform", "Compose", "OneOf", "RescaleIntensity",
+            "RandomNoise", "RandomBlur", "RandomGamma", "RandomBiasField",
+            "RandomFlip", "RandomElasticDeformation", "RandomAffine",
+            "Resample", "CropOrPad", "Crop", "Pad", "CopyAffine", "Flip",
+            # loaders/predictors/trainer
+            "DataLoaderFactory", "StandardDataLoader", "PatchDataLoader",
+            "Predictor", "StandardPredict", "PatchPredict",
+            "add_evaluation_labels", "apply_stochastic_matrix",
+            "SegmentationTrainer", "ScheduledEvaluation",
+            # post-processing
+            "sort_by_size", "unsort_by_size", "keep_components",
+            "remove_holes", "remove_small_components",
+            # models & criterion
+            "NestedResUNet", "ModularUNet", "Block3d", "WSConv3d",
+            "BlurConv3d", "BlurConvTranspose3d", "StochasticMatrix",
+            "EnsembleModels", "EnsembleFlips", "EnsembleOrientations",
+            "filter_kwargs", "HybridLogisticDiceLoss",
+            # evaluators
+            "Evaluator", "LabeledTensor", "SegmentationEvaluator",
+            "InstanceSegmentationEvaluator", "LabelMapEvaluator",
+            "ContourImageEvaluator", "ImageRegionEvaluator",
+            "msseg_detection_test",
+            # loggers
+            "Logger", "NonLogger", "WandbLogger", "FileLogger",
+            # context & utils
+            "Context", "TorchContext", "no_op", "collate_subjects",
+            "slice_volume", "flatten_nested_dict", "auto_str", "random_folds",
+            "prepare_dataset_files", "time_str_to_seconds", "Timer",
+            "CompactJSONEncoder", "save_dataset_as_nn_unet", "PathLike",
+            # visualizations
+            "vis_features", "vis_subject", "vis_model",
+            # core data model (torchio analog)
+            "Subject", "ScalarImage", "LabelMap", "Image", "read_nifti",
+            "write_nifti",
+        ]
+        missing = [n for n in names if not hasattr(sp, n)]
+        assert not missing, f"facade is missing: {missing}"
