@@ -158,11 +158,17 @@ def msseg2_bench():
     t0 = time.time()
     float(chain_jit(1, fresh()))
     dt = time.time() - t0
+    pps = n_steps * 4 / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    with open(baseline_path) as f:
+        baseline = json.load(f).get("torch_cpu_msseg2_patches_per_sec")
     print(json.dumps({
         "metric": "msseg2 patch train throughput (batch 4, 96^3x2ch, depth-6 BlurConv UNet, remat)",
-        "value": round(n_steps * 4 / dt, 3),
+        "value": round(pps, 3),
         "unit": "patches/sec/chip",
-        "vs_baseline": None,
+        "vs_baseline": round(pps / baseline, 1) if baseline else None,
     }))
 
 
