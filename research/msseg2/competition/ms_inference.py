@@ -24,10 +24,11 @@ from segmentation_pipeline_tpu.post_processing import remove_holes, remove_small
 from segmentation_pipeline_tpu.transforms.base import invert_records
 
 
-def inference(dataset, model, out_folder, output_filename):
+def inference(dataset, model, out_folder, output_filename,
+              device_argmax=False):
     predictor = PatchPredict(patch_batch_size=1, patch_size=96, patch_overlap=48,
                              padding_mode="edge", overlap_mode="average",
-                             image_names=["X"])
+                             image_names=["X"], device_argmax=device_argmax)
 
     for i in range(len(dataset)):
         subject = dataset[i]
@@ -85,6 +86,10 @@ def main():
                         choices=["", "flips", "orientations"])
     parser.add_argument("--ensemble-folds", action="store_true")
     parser.add_argument("--cohort", default=None)
+    parser.add_argument("--device-argmax", action="store_true",
+                        help="argmax on device and fetch uint8 label ids "
+                             "instead of the float32 probability volume "
+                             "(identical mask, much less host transfer)")
     args = parser.parse_args()
 
     contexts = []
@@ -109,7 +114,8 @@ def main():
         dataset = (context.dataset if args.cohort is None
                    else context.dataset.get_cohort_dataset(args.cohort))
         print(f"Running evaluation for context {i}")
-        inference(dataset, context.model, args.out_folder, args.output_filename)
+        inference(dataset, context.model, args.out_folder, args.output_filename,
+                  device_argmax=args.device_argmax)
 
 
 if __name__ == "__main__":

@@ -86,6 +86,10 @@ def main():
     parser.add_argument("--patch-overlap", type=int, default=48)
     parser.add_argument("--orientation-count", type=int, default=48)
     parser.add_argument("--cohort", default=None)
+    parser.add_argument("--device-argmax", action="store_true",
+                        help="argmax on device; fetch uint8 ids per "
+                             "orientation instead of float32 probabilities "
+                             "(identical vote, much less host transfer)")
     args = parser.parse_args()
 
     checkpoint_path = Path(args.checkpoint_path)
@@ -115,9 +119,11 @@ def main():
     if args.patch:
         predictor = PatchPredict(patch_batch_size=1, patch_size=args.patch_size,
                                  patch_overlap=args.patch_overlap,
-                                 overlap_mode="average", image_names=["X"])
+                                 overlap_mode="average", image_names=["X"],
+                                 device_argmax=args.device_argmax)
     else:
-        predictor = StandardPredict(image_names=["X"])
+        predictor = StandardPredict(image_names=["X"],
+                                    device_argmax=args.device_argmax)
 
     for i in range(len(dataset)):
         subject = dataset[i]

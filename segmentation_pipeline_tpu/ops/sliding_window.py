@@ -63,11 +63,12 @@ def _pad_locations(locations: np.ndarray, batch: int) -> Tuple[np.ndarray, np.nd
 
 
 @partial(jax.jit, static_argnames=("model_fn", "patch_size", "patch_batch", "mode",
-                                   "out_channels"))
+                                   "out_channels", "output_labels"))
 def _sliding_window_jit(volume: jnp.ndarray, locations: jnp.ndarray,
                         validity: jnp.ndarray, model_args, model_fn,
                         patch_size: Tuple[int, int, int],
-                        patch_batch: int, mode: str, out_channels: int):
+                        patch_batch: int, mode: str, out_channels: int,
+                        output_labels: bool = False):
     """volume: (W, H, D, C). locations: (L, 3) padded to patch_batch multiple;
     validity: (L,) 1/0 weight gate for padded duplicate locations.
 
@@ -114,7 +115,14 @@ def _sliding_window_jit(volume: jnp.ndarray, locations: jnp.ndarray,
         return (acc, div), None
 
     (acc, div), _ = lax.scan(body, (acc, div), (locs, valid))
-    return acc / jnp.maximum(div, 1e-8)
+    out = acc / jnp.maximum(div, 1e-8)
+    if output_labels:
+        # argmax on device: D2H shrinks from C x f32 to one small-int channel
+        # (argmax is invariant to the positive per-voxel normalization, but
+        # the division must stay — overlap-averaging mixes patches first)
+        idx_dtype = jnp.uint8 if out_channels <= 255 else jnp.int32
+        return jnp.argmax(out, axis=-1).astype(idx_dtype)
+    return out
 
 
 def sliding_window_inference(
@@ -126,11 +134,19 @@ def sliding_window_inference(
     mode: str = "average",
     out_channels: int = None,
     model_args=(),
+    output_labels: bool = False,
+    transfer_dtype=None,
 ) -> jnp.ndarray:
     """volume_cf: (C, W, H, D) single volume; model_fn maps channels-last
     patch batches (B, pw, ph, pd, C) [, *model_args] -> (B, pw, ph, pd, C_out).
     Returns (C_out, W, H, D) aggregated prediction. ``mode``: 'average'
     (uniform overlap-add, tio default) or 'hann'.
+
+    ``output_labels=True`` argmaxes on device and returns (W, H, D) label ids
+    (uint8/int32) — the host-transfer-lean path for inference/eval consumers
+    that only need the hard segmentation. ``transfer_dtype`` (e.g. bfloat16)
+    casts the volume on host before upload, halving H2D bytes; use it when
+    the model computes in that dtype anyway (SegModel compute_dtype).
 
     model_fn is a static jit key: reuse the SAME function object across calls
     to avoid recompiles, and pass anything that changes between calls
@@ -142,7 +158,13 @@ def sliding_window_inference(
         patch_overlap = (patch_overlap,) * 3
     patch_size = tuple(int(p) for p in patch_size)
 
-    volume = jnp.moveaxis(jnp.asarray(volume_cf, jnp.float32), 0, -1)
+    if transfer_dtype is None:
+        in_dtype = jnp.float32
+        volume = jnp.moveaxis(jnp.asarray(volume_cf, jnp.float32), 0, -1)
+    else:
+        # cast on host so the upload itself shrinks
+        in_dtype = jnp.dtype(transfer_dtype)
+        volume = jnp.moveaxis(jnp.asarray(np.asarray(volume_cf).astype(in_dtype)), 0, -1)
     spatial = volume.shape[:3]
     locations = grid_locations(spatial, patch_size, patch_overlap)
     locations, validity = _pad_locations(locations, patch_batch)
@@ -150,10 +172,12 @@ def sliding_window_inference(
     if out_channels is None:
         probe = jax.eval_shape(
             model_fn, jax.ShapeDtypeStruct((patch_batch, *patch_size, volume.shape[3]),
-                                           jnp.float32), *model_args)
+                                           in_dtype), *model_args)
         out_channels = probe.shape[-1]
 
     out = _sliding_window_jit(volume, jnp.asarray(locations), jnp.asarray(validity),
                               tuple(model_args), model_fn, patch_size, patch_batch,
-                              mode, out_channels)
+                              mode, out_channels, output_labels)
+    if output_labels:
+        return out
     return jnp.moveaxis(out, -1, 0)

@@ -68,13 +68,16 @@ class StandardPredict(Predictor):
     """Whole-image batched prediction (ref prediction.py:57-102)."""
 
     def __init__(self, image_names: Sequence[str] = ("X",), sagittal_split: bool = False,
-                 refine_image: str = None):
+                 refine_image: str = None, device_argmax: bool = False):
         image_names = list(image_names)
         if refine_image is not None and refine_image not in image_names:
             image_names.append(refine_image)
         self.image_names = image_names
         self.sagittal_split = sagittal_split
         self.refine_image = refine_image
+        # fetch argmax label ids instead of the C-channel float32 volume and
+        # attach the one-hot expansion (see PatchPredict.device_argmax)
+        self.device_argmax = device_argmax
 
     def predict(self, model, subjects, label_attributes=None):
         batch = collate_subjects(subjects, image_names=self.image_names)
@@ -87,7 +90,13 @@ class StandardPredict(Predictor):
             y_pred = model(batch["X"])
 
         batch["y_pred"] = y_pred
-        y_np = np.asarray(y_pred)
+        if self.device_argmax:
+            n_ch = y_pred.shape[1]
+            idx_dtype = jnp.uint8 if n_ch <= 255 else jnp.int32
+            ids = np.asarray(jnp.argmax(y_pred, axis=1).astype(idx_dtype))
+            y_np = np.moveaxis(np.eye(n_ch, dtype=np.float32)[ids], -1, 1)
+        else:
+            y_np = np.asarray(y_pred)
         out_subjects = []
         for i, subject in enumerate(subjects):
             out_subjects.append(_attach_prediction(subject, y_np[i], label_attributes))
@@ -101,13 +110,21 @@ class PatchPredict(Predictor):
     def __init__(self, image_names: Sequence[str] = ("X",), patch_batch_size: int = 16,
                  patch_size=None, patch_overlap=(0, 0, 0), padding_mode=None,
                  overlap_mode: str = "average", shape_bucket: int = 0,
-                 mesh=None, volume_sharded: bool = False):
+                 mesh=None, volume_sharded: bool = False,
+                 device_argmax: bool = False):
         self.image_names = list(image_names)
         self.patch_batch_size = patch_batch_size
         self.patch_size = patch_size
         self.patch_overlap = patch_overlap
         self.padding_mode = padding_mode
         self.overlap_mode = overlap_mode
+        # device_argmax: argmax the aggregated prediction ON DEVICE and fetch
+        # only label ids (uint8) instead of the C-channel float32 volume —
+        # identical downstream metrics/outputs for every consumer of the hard
+        # segmentation (evaluators, post-processing, NIfTI export); y_pred is
+        # attached as the one-hot expansion. Don't use when soft
+        # probabilities themselves are needed downstream.
+        self.device_argmax = device_argmax
         # shape_bucket > 0: pad each volume's spatial dims up to a multiple of
         # this value before the fused sliding window, so ragged subject shapes
         # share compiled programs (XLA static shapes; SURVEY §7 bucket-and-pad)
@@ -142,6 +159,23 @@ class PatchPredict(Predictor):
             cls._module_fns[key] = fn
         return fn
 
+    @staticmethod
+    def _out_channels_for(model, in_channels: int, patch_size) -> int:
+        """Output channel count via shape-only evaluation (no compute)."""
+        import jax
+
+        if hasattr(model, "module") and hasattr(model, "variables"):
+            probe = jax.eval_shape(
+                lambda v, x: model.module.apply(v, x, train=False),
+                model.variables,
+                jax.ShapeDtypeStruct((1, *patch_size, in_channels), jnp.float32))
+        else:
+            probe = jax.eval_shape(
+                model, jax.ShapeDtypeStruct((1, in_channels, *patch_size),
+                                            jnp.float32))
+            return probe.shape[1]
+        return probe.shape[-1]
+
     def predict(self, model, subjects, label_attributes=None):
         mode = "average" if self.overlap_mode == "average" else self.overlap_mode
         patch_size = self.patch_size
@@ -149,10 +183,14 @@ class PatchPredict(Predictor):
             patch_size = (patch_size,) * 3
 
         if hasattr(model, "module") and hasattr(model, "variables"):
-            # SegModel fast path: variables traced, function object cached
-            model.ensure_initialized(
-                np.asarray(subjects[0]["X"].data)[None]) if model.variables is None \
-                else None
+            # SegModel fast path: variables traced, function object cached.
+            # Initialize from a patch-shaped dummy — the raw subject shape may
+            # not satisfy the network's divisibility constraints (patches do).
+            if model.variables is None:
+                cin = int(subjects[0]["X"].data.shape[0])
+                init_shape = patch_size or subjects[0]["X"].data.shape[1:]
+                model.ensure_initialized(
+                    np.zeros((1, cin, *init_shape), np.float32))
             model_fn = self._fn_for_module(
                 model.module, getattr(model, "compute_dtype", None))
             model_args = (model.variables,)
@@ -199,15 +237,36 @@ class PatchPredict(Predictor):
                                    patch_overlap=self.patch_overlap,
                                    mode=mode, mesh=self.mesh,
                                    model_args=model_args)
+                if self.device_argmax:
+                    # post-hoc device argmax: only ids cross the host link
+                    idx_dtype = (jnp.uint8 if y_pred.shape[0] <= 255
+                                 else jnp.int32)
+                    y_pred = jnp.argmax(y_pred, axis=0).astype(idx_dtype)
             else:
+                compute_dtype = getattr(model, "compute_dtype", None)
+                transfer_dtype = None
+                if compute_dtype is not None and \
+                        jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32):
+                    # the model casts to this dtype anyway: upload half-size
+                    transfer_dtype = compute_dtype
                 y_pred = sliding_window_inference(
                     volume, model_fn, patch_size=patch_size,
                     patch_overlap=self.patch_overlap,
                     patch_batch=self.patch_batch_size, mode=mode,
-                    model_args=model_args)
-            y_np = np.asarray(y_pred)
-            if padded:
-                y_np = y_np[:, :spatial[0], :spatial[1], :spatial[2]]
+                    model_args=model_args,
+                    output_labels=self.device_argmax,
+                    transfer_dtype=transfer_dtype)
+            if self.device_argmax and y_pred.ndim == 3:
+                ids = np.asarray(y_pred)  # (W, H, D) small-int ids
+                if padded:
+                    ids = ids[:spatial[0], :spatial[1], :spatial[2]]
+                n_ch = self._out_channels_for(model, volume.shape[0], patch_size)
+                y_np = np.moveaxis(
+                    np.eye(n_ch, dtype=np.float32)[ids], -1, 0)
+            else:
+                y_np = np.asarray(y_pred)
+                if padded:
+                    y_np = y_np[:, :spatial[0], :spatial[1], :spatial[2]]
             preds.append(y_np)
             out_subjects.append(_attach_prediction(subject, y_np, label_attributes))
 
