@@ -130,8 +130,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=1)
     parser.add_argument("--batch", type=int, default=4)
-    parser.add_argument("--warm-shape", type=int, default=32,
-                        help="spatial size of the warmup step")
+    parser.add_argument("--warm-shape", type=int, default=96,
+                        help="spatial size of the warmup step; must equal the "
+                             "timed 96 for honest timing (oneDNN primitives "
+                             "and allocations are shape-dependent)")
     args = parser.parse_args()
 
     torch.manual_seed(0)
@@ -153,8 +155,9 @@ def main():
         y = np.stack([1 - lab, lab], axis=1)
         return torch.from_numpy(X), torch.from_numpy(y)
 
-    # small-shape warmup to trigger allocator/kernel setup without paying a
-    # full 96^3 step twice
+    # warmup at the timed shape: oneDNN primitive caches and allocations are
+    # shape-dependent, so a smaller warmup would leave first-touch costs in
+    # the timed step
     xw, yw = batch((args.warm_shape,) * 3)
     step(xw, yw)
 

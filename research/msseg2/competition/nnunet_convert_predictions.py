@@ -28,18 +28,33 @@ def main():
     args = parser.parse_args()
 
     task_dir = Path(args.nnunet_task_dir)
-    raw_files = sorted(p for p in (task_dir / "cv_niftis_raw").iterdir()
-                       if p.name.endswith("nii.gz"))
-    post_files = sorted(p for p in (task_dir / "cv_niftis_postprocessed").iterdir()
-                        if p.name.endswith("nii.gz"))
+
+    def by_stem(folder):
+        files = {}
+        for p in folder.iterdir():
+            if p.name.endswith("nii.gz"):
+                files[p.name[:-len(".nii.gz")]] = p
+        return files
+
+    raw_files = by_stem(task_dir / "cv_niftis_raw")
+    post_files = by_stem(task_dir / "cv_niftis_postprocessed")
     pred_folders = sorted(p for p in Path(args.predictions_dir).iterdir()
                           if p.is_dir())
-    if not (len(raw_files) == len(post_files) == len(pred_folders)):
-        raise SystemExit(
-            f"count mismatch: {len(raw_files)} raw, {len(post_files)} "
-            f"post-processed, {len(pred_folders)} prediction folders")
 
-    for pred_folder, raw, post in zip(pred_folders, raw_files, post_files):
+    # pair by subject name, never by sort position: naming conventions
+    # differ between nnUNet exports and this pipeline's prediction folders,
+    # and a positional zip would silently stage the wrong subject's mask
+    missing = [f.name for f in pred_folders
+               if f.name not in raw_files or f.name not in post_files]
+    if missing:
+        raise SystemExit(
+            f"no nnUNet cv file matches prediction folder(s) {missing}; "
+            f"raw stems: {sorted(raw_files)[:5]}... — rename folders or "
+            f"files so subject names match")
+
+    for pred_folder in pred_folders:
+        raw = raw_files[pred_folder.name]
+        post = post_files[pred_folder.name]
         shutil.copy(raw, pred_folder / "nnunet_raw.nii.gz")
         shutil.copy(post, pred_folder / "nnunet_postprocessed.nii.gz")
         print(f"{pred_folder.name}: {raw.name} -> nnunet_raw.nii.gz, "

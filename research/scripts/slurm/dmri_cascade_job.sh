@@ -1,7 +1,7 @@
 #!/bin/bash
 # Cascade-refinement training job array, one task per fold (counterpart of
 # the reference's research/scripts/slurm/dmri_cascade_job.sh 1xV100 job).
-#SBATCH --array=0
+#SBATCH --array=0-4
 #SBATCH --nodes=1
 #SBATCH --ntasks-per-node 1
 #SBATCH --cpus-per-task=8

@@ -55,6 +55,18 @@ class Predictor(ABC):
         ...
 
 
+def idx_dtype_for(n_channels: int):
+    """Smallest integer dtype holding channel indices (device-argmax fetch)."""
+    return jnp.uint8 if n_channels <= 255 else jnp.int32
+
+
+def ids_to_onehot(ids: np.ndarray, n_channels: int, channel_axis: int = 0
+                  ) -> np.ndarray:
+    """Expand argmax ids back to the float32 one-hot the framework's y_pred
+    consumers expect. Host-side: a memory-bandwidth op, never a transfer."""
+    return np.moveaxis(np.eye(n_channels, dtype=np.float32)[ids], -1, channel_axis)
+
+
 def _attach_prediction(subject: Subject, y_pred: np.ndarray, label_attributes):
     image = LabelMap(tensor=y_pred, **copy.deepcopy(label_attributes or {}))
     if "X" in subject:
@@ -90,12 +102,13 @@ class StandardPredict(Predictor):
             y_pred = model(batch["X"])
 
         batch["y_pred"] = y_pred
-        if self.device_argmax:
-            n_ch = y_pred.shape[1]
-            idx_dtype = jnp.uint8 if n_ch <= 255 else jnp.int32
-            ids = np.asarray(jnp.argmax(y_pred, axis=1).astype(idx_dtype))
-            y_np = np.moveaxis(np.eye(n_ch, dtype=np.float32)[ids], -1, 1)
+        n_ch = y_pred.shape[1]
+        if self.device_argmax and n_ch > 1:
+            ids = np.asarray(jnp.argmax(y_pred, axis=1).astype(idx_dtype_for(n_ch)))
+            y_np = ids_to_onehot(ids, n_ch, channel_axis=1)
         else:
+            # C == 1: the single channel IS the mask/probability — argmax
+            # would collapse it to all-zero ids; fall back to the full fetch
             y_np = np.asarray(y_pred)
         out_subjects = []
         for i, subject in enumerate(subjects):
@@ -204,6 +217,17 @@ class PatchPredict(Predictor):
 
             model_args = ()
 
+        use_argmax = self.device_argmax
+        n_ch = None
+        if use_argmax and subjects:
+            # one shape-only probe for the whole call (not per subject); with
+            # C == 1 the single channel IS the mask — argmax would collapse
+            # it to all-zero ids, so fall back to the full-probability fetch
+            n_ch = self._out_channels_for(
+                model, int(subjects[0]["X"].data.shape[0]), patch_size)
+            if n_ch <= 1:
+                use_argmax = False
+
         out_subjects = []
         preds = []
         for subject in subjects:
@@ -237,11 +261,10 @@ class PatchPredict(Predictor):
                                    patch_overlap=self.patch_overlap,
                                    mode=mode, mesh=self.mesh,
                                    model_args=model_args)
-                if self.device_argmax:
+                if use_argmax:
                     # post-hoc device argmax: only ids cross the host link
-                    idx_dtype = (jnp.uint8 if y_pred.shape[0] <= 255
-                                 else jnp.int32)
-                    y_pred = jnp.argmax(y_pred, axis=0).astype(idx_dtype)
+                    y_pred = jnp.argmax(y_pred, axis=0).astype(
+                        idx_dtype_for(y_pred.shape[0]))
             else:
                 compute_dtype = getattr(model, "compute_dtype", None)
                 transfer_dtype = None
@@ -254,15 +277,13 @@ class PatchPredict(Predictor):
                     patch_overlap=self.patch_overlap,
                     patch_batch=self.patch_batch_size, mode=mode,
                     model_args=model_args,
-                    output_labels=self.device_argmax,
+                    output_labels=use_argmax,
                     transfer_dtype=transfer_dtype)
-            if self.device_argmax and y_pred.ndim == 3:
+            if use_argmax:
                 ids = np.asarray(y_pred)  # (W, H, D) small-int ids
                 if padded:
                     ids = ids[:spatial[0], :spatial[1], :spatial[2]]
-                n_ch = self._out_channels_for(model, volume.shape[0], patch_size)
-                y_np = np.moveaxis(
-                    np.eye(n_ch, dtype=np.float32)[ids], -1, 0)
+                y_np = ids_to_onehot(ids, n_ch)
             else:
                 y_np = np.asarray(y_pred)
                 if padded:
@@ -271,7 +292,13 @@ class PatchPredict(Predictor):
             out_subjects.append(_attach_prediction(subject, y_np, label_attributes))
 
         batch = collate_subjects(subjects, image_names=self.image_names)
-        batch["y_pred"] = jnp.asarray(np.stack(preds))
+        if use_argmax:
+            # keep the collated prediction host-side: re-uploading the
+            # C-channel one-hot would spend the very transfer the ids fetch
+            # just avoided
+            batch["y_pred"] = np.stack(preds)
+        else:
+            batch["y_pred"] = jnp.asarray(np.stack(preds))
         return out_subjects, batch
 
 

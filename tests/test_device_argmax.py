@@ -101,6 +101,32 @@ class TestPatchPredictDeviceArgmax:
         ids32 = np.argmax(np.asarray(b32["y_pred"])[0], 0)
         assert (ids16 == ids32).mean() > 0.98
 
+    def test_single_channel_model_falls_back(self):
+        """C == 1: the channel IS the mask — device_argmax must not collapse
+        it to all-zero ids (it falls back to the full fetch)."""
+        from segmentation_pipeline_tpu.prediction import StandardPredict
+
+        class OneChannel:
+            def __call__(self, x):
+                return jax.nn.sigmoid(jnp.asarray(x)[:, :1])
+
+        s = self._subjects()
+        subs, _ = StandardPredict(image_names=["X"], device_argmax=True).predict(
+            OneChannel(), [s], label_attributes={})
+        y = np.asarray(subs[0]["y_pred"].data)
+        assert y.shape[0] == 1
+        assert 0.0 < y.mean() < 1.0  # real probabilities, not an all-X mask
+
+        # PatchPredict path: probe-based fallback
+        s2 = self._subjects()
+        subs2, batch2 = PatchPredict(
+            image_names=["X"], patch_size=8, patch_overlap=4,
+            patch_batch_size=4, device_argmax=True).predict(
+            OneChannel(), [s2], label_attributes={})
+        y2 = np.asarray(subs2[0]["y_pred"].data)
+        assert y2.shape[0] == 1
+        assert 0.0 < y2.mean() < 1.0
+
     def test_mesh_patch_predict_device_argmax(self):
         from jax.sharding import Mesh
 
