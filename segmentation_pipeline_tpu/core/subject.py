@@ -271,11 +271,18 @@ class Subject(dict):
         self.history = []
 
     def apply_inverse_transform(self, warn: bool = True, image_interpolation=None) -> "Subject":
-        """Undo the full history tape (newest first), returning a new Subject
-        in the original space with an empty history."""
+        """Undo the full history tape (newest first), returning a NEW Subject
+        in the original space with an empty history. The original subject is
+        untouched (torchio semantics); our transforms mutate in place, so the
+        inversion runs on a deep copy."""
+        import copy
+
         from ..transforms.base import invert_records
 
-        return invert_records(self, self.history, warn=warn)
+        out = copy.deepcopy(self)
+        out = invert_records(out, out.history, warn=warn)
+        out.clear_history()
+        return out
 
     def __repr__(self):
         images = list(self.get_images_dict().keys())

@@ -118,6 +118,12 @@ class Transform:
     def _selection_kwargs(self) -> Dict[str, Any]:
         return dict(include=self.include, exclude=self.exclude)
 
+    def _sel(self) -> Dict[str, Any]:
+        """Non-None selection kwargs, for propagating include/exclude onto an
+        inverse transform — an inverse that drops the selection would
+        pad/crop/flip images the forward transform never touched."""
+        return {k: v for k, v in self._selection_kwargs().items() if v is not None}
+
     def __repr__(self):
         return auto_str(self)
 
@@ -240,22 +246,45 @@ def filter_transform(
     """Recursively filter a Compose pipeline by transform type
     (ref transforms/utils.py:8; used by run_inference.py:165 to strip
     TargetResample at inference)."""
-    if isinstance(transform, Compose):
-        kept = []
-        for t in transform:
-            if isinstance(t, (Compose, OneOf)):
-                kept.append(filter_transform(t, include_types, exclude_types))
-                continue
-            if include_types is not None and not any(isinstance(t, typ) for typ in include_types):
-                continue
-            if exclude_types is not None and any(isinstance(t, typ) for typ in exclude_types):
-                continue
-            kept.append(t)
-        out = Compose(kept)
+    def _keep(t):
+        if include_types is not None and not any(isinstance(t, typ) for typ in include_types):
+            return False
+        if exclude_types is not None and any(isinstance(t, typ) for typ in exclude_types):
+            return False
+        return True
+
+    def _copy_meta(out):
         out.p = transform.p
         out.include = transform.include
         out.exclude = transform.exclude
         return out
+
+    if isinstance(transform, Compose):
+        kept = []
+        for t in transform:
+            if isinstance(t, (Compose, OneOf)):
+                sub = filter_transform(t, include_types, exclude_types)
+                if not isinstance(sub, (Compose, OneOf)) or sub.transforms:
+                    kept.append(sub)
+                continue
+            if _keep(t):
+                kept.append(t)
+        return _copy_meta(Compose(kept))
+    if isinstance(transform, OneOf):
+        # filter inside the probabilistic choice too — an excluded transform
+        # hiding in a OneOf must not stay active (renormalize the weights)
+        pairs = []
+        for t, w in zip(transform.transforms, transform.weights):
+            if isinstance(t, (Compose, OneOf)):
+                sub = filter_transform(t, include_types, exclude_types)
+                if not isinstance(sub, (Compose, OneOf)) or sub.transforms:
+                    pairs.append((sub, float(w)))
+                continue
+            if _keep(t):
+                pairs.append((t, float(w)))
+        if not pairs:
+            return _copy_meta(Compose([]))
+        return _copy_meta(OneOf(dict(pairs)))
     return transform
 
 

@@ -6,7 +6,6 @@ a directionally-biased random subset of diffusion directions.
 """
 from __future__ import annotations
 
-import copy
 from numbers import Number
 from typing import Tuple, Union
 
@@ -85,7 +84,11 @@ class ReconstructMeanDWI(RandomTransform):
         if self.mean_dwi_image_name in subject:
             mean_image = subject[self.mean_dwi_image_name]
         else:
-            mean_image = copy.deepcopy(full_dwi_image)
+            # build a fresh container — deepcopying the full 4-D DWI series
+            # just to overwrite its data would copy 60-100 volumes per call
+            # (and inherit the series' file paths into the mean image)
+            mean_image = type(full_dwi_image)(tensor=mean_dwi,
+                                              affine=full_dwi_image.affine.copy())
             subject.add_image(mean_image, self.mean_dwi_image_name)
         mean_image.set_data(mean_dwi)
         return {"indices": indices.tolist()}
@@ -134,7 +137,11 @@ class ReconstructMeanDWIClassic(RandomTransform):
         if self.mean_dwi_image_name in subject:
             mean_image = subject[self.mean_dwi_image_name]
         else:
-            mean_image = copy.deepcopy(full_dwi_image)
+            # build a fresh container — deepcopying the full 4-D DWI series
+            # just to overwrite its data would copy 60-100 volumes per call
+            # (and inherit the series' file paths into the mean image)
+            mean_image = type(full_dwi_image)(tensor=mean_dwi,
+                                              affine=full_dwi_image.affine.copy())
             subject.add_image(mean_image, self.mean_dwi_image_name)
         mean_image.set_data(mean_dwi)
         return {"indices": selected.tolist()}

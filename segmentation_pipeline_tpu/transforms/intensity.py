@@ -90,6 +90,11 @@ class ZNormalization(IntensityTransform):
             data = np.asarray(image.data, dtype=np.float32)
             mask = get_mask_from_masking_method(self.masking_method, subject, data)
             values = data[mask]
+            if values.size == 0:
+                raise RuntimeError(
+                    f"ZNormalization mask {self.masking_method!r} selects no "
+                    f"voxels for image in subject {subject.get('name')!r} — "
+                    f"normalizing would produce an all-NaN image")
             std = values.std()
             if std < 1e-12:
                 std = 1.0
@@ -103,8 +108,8 @@ class RandomNoise(RandomTransform, IntensityTransform):
 
     def __init__(self, mean: float = 0.0, std: Union[float, Tuple[float, float]] = 0.25, **kwargs):
         super().__init__(**kwargs)
-        self.mean = mean
-        self.std = std
+        self.mean = tuple(mean) if isinstance(mean, (tuple, list)) else mean
+        self.std = tuple(std) if isinstance(std, (tuple, list)) else std
 
     def apply_transform(self, subject):
         for image in self.get_images(subject):
@@ -125,7 +130,7 @@ class RandomBlur(RandomTransform, IntensityTransform):
 
     def __init__(self, std: Union[float, Tuple[float, float]] = (0.0, 2.0), **kwargs):
         super().__init__(**kwargs)
-        self.std = std if isinstance(std, tuple) else (0.0, std)
+        self.std = tuple(std) if isinstance(std, (tuple, list)) else (0.0, std)
 
     def apply_transform(self, subject):
         for image in self.get_images(subject):
@@ -146,7 +151,8 @@ class RandomGamma(RandomTransform, IntensityTransform):
 
     def __init__(self, log_gamma: Union[float, Tuple[float, float]] = (-0.3, 0.3), **kwargs):
         super().__init__(**kwargs)
-        self.log_gamma = log_gamma if isinstance(log_gamma, tuple) else (-log_gamma, log_gamma)
+        self.log_gamma = (tuple(log_gamma) if isinstance(log_gamma, (tuple, list))
+                          else (-log_gamma, log_gamma))
 
     def apply_transform(self, subject):
         for image in self.get_images(subject):
@@ -167,7 +173,8 @@ class RandomBiasField(RandomTransform, IntensityTransform):
 
     def __init__(self, coefficients: Union[float, Tuple[float, float]] = 0.5, order: int = 3, **kwargs):
         super().__init__(**kwargs)
-        self.coefficients = (coefficients if isinstance(coefficients, tuple)
+        self.coefficients = (tuple(coefficients)
+                             if isinstance(coefficients, (tuple, list))
                              else (-coefficients, coefficients))
         self.order = order
 

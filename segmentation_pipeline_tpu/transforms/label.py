@@ -108,7 +108,7 @@ class CustomRemapLabels(LabelTransform):
             inverse_remapping = {v: k for k, v in self.remapping.items()}
         else:
             inverse_remapping = [(name, new_id, old_id) for name, old_id, new_id in self.remapping]
-        kw = {k: v for k, v in self._selection_kwargs().items() if v is not None}
+        kw = self._sel()
         return CustomRemapLabels(inverse_remapping, masking_method=self.masking_method, **kw)
 
 
@@ -214,7 +214,7 @@ class CustomOneHot(LabelTransform):
         return True
 
     def inverse(self, args=None):
-        kw = {k: v for k, v in self._selection_kwargs().items() if v is not None}
+        kw = self._sel()
         return CustomArgMax(num_classes=self.num_classes, **kw)
 
 
@@ -236,7 +236,7 @@ class CustomArgMax(LabelTransform):
         return True
 
     def inverse(self, args=None):
-        kw = {k: v for k, v in self._selection_kwargs().items() if v is not None}
+        kw = self._sel()
         return CustomOneHot(num_classes=self.num_classes, **kw)
 
 

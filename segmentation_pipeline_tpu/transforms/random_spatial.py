@@ -16,7 +16,7 @@ from scipy import ndimage as ndi
 
 from ..core.subject import LabelMap
 from .base import RandomTransform, SpatialTransform
-from .spatial import Flip, _otsu_background_value
+from .spatial import Flip, _otsu_background_value, _pad_value
 
 
 class RandomFlip(RandomTransform, SpatialTransform):
@@ -38,7 +38,7 @@ class RandomFlip(RandomTransform, SpatialTransform):
         chosen = tuple(a for a in self.axes if self.rng.random() < self.flip_probability)
         if not chosen:
             return subject
-        concrete = Flip(chosen, **{k: v for k, v in self._selection_kwargs().items() if v is not None})
+        concrete = Flip(chosen, **self._sel())
         return concrete(subject, record=record)
 
     def apply_transform(self, subject):  # pragma: no cover
@@ -52,6 +52,19 @@ def _as_range(value, center: float = 0.0) -> Tuple[float, float]:
         raise ValueError(f"Range must have 2 elements, got {value}")
     v = float(value)
     return center - v, center + v
+
+
+def _interp_order(interpolation: str, is_label: bool) -> int:
+    """scipy spline order for an interpolation name; labels always nearest.
+    Mirrors spatial.py's Resample dispatch so 'nearest' means nearest here
+    too (it previously fell through to cubic)."""
+    if is_label or interpolation == "nearest":
+        return 0
+    if interpolation == "linear":
+        return 1
+    if interpolation in ("bspline", "cubic"):
+        return 3
+    raise ValueError(f"Unsupported interpolation {interpolation!r}")
 
 
 class RandomAffine(RandomTransform, SpatialTransform):
@@ -95,17 +108,8 @@ class RandomAffine(RandomTransform, SpatialTransform):
             offset = center - A @ center - translation / spacing
 
             is_label = isinstance(image, LabelMap)
-            order = 0 if is_label else (1 if self.image_interpolation == "linear" else 3)
-            if is_label:
-                cval = 0.0
-            elif self.default_pad_value == "minimum":
-                cval = float(data.min())
-            elif self.default_pad_value == "mean":
-                cval = float(data.mean())
-            elif self.default_pad_value == "otsu":
-                cval = float(_otsu_background_value(data))
-            else:
-                cval = float(self.default_pad_value)
+            order = _interp_order(self.image_interpolation, is_label)
+            cval = 0.0 if is_label else _pad_value(data, self.default_pad_value)
 
             src = data.astype(np.float32)
             out = np.stack([
@@ -186,7 +190,7 @@ class RandomElasticDeformation(RandomTransform, SpatialTransform):
             sample_coords = [idx[a] + field_vox[a] for a in range(3)]
 
             is_label = isinstance(image, LabelMap)
-            order = 0 if is_label else (1 if self.image_interpolation == "linear" else 3)
+            order = _interp_order(self.image_interpolation, is_label)
             src = data.astype(np.float32)
             out = np.stack([
                 ndi.map_coordinates(src[c], sample_coords, order=order, mode="nearest")

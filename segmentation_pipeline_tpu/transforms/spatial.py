@@ -88,7 +88,7 @@ class Crop(SpatialTransform):
         return True
 
     def inverse(self, args=None):
-        return Pad(self.cropping)
+        return Pad(self.cropping, **self._sel())
 
 
 class Pad(SpatialTransform):
@@ -121,7 +121,7 @@ class Pad(SpatialTransform):
         return True
 
     def inverse(self, args=None):
-        return Crop(self.padding)
+        return Crop(self.padding, **self._sel())
 
 
 class CropOrPad(SpatialTransform):
@@ -181,7 +181,7 @@ class CropOrPad(SpatialTransform):
     def inverse(self, args=None):
         args = args or {}
         return _UndoCropOrPad(args.get("crop", (0,) * 6), args.get("pad", (0,) * 6),
-                              **{k: v for k, v in self._selection_kwargs().items() if v is not None})
+                              **self._sel())
 
 
 class _UndoCropOrPad(SpatialTransform):
@@ -225,7 +225,7 @@ class Flip(SpatialTransform):
         return True
 
     def inverse(self, args=None):
-        return Flip(self.axes, **{k: v for k, v in self._selection_kwargs().items() if v is not None})
+        return Flip(self.axes, **self._sel())
 
 
 def resample_array(
@@ -415,7 +415,8 @@ class MinSizePad(Transform):
                 padding += [0, 0]
         padding = tuple(padding)
         if any(padding):
-            Pad(padding, padding_mode=self.padding_mode)(subject, record=False)
+            Pad(padding, padding_mode=self.padding_mode,
+                **self._sel())(subject, record=False)
         return {"padding": padding}
 
     def is_invertible(self):
@@ -423,7 +424,7 @@ class MinSizePad(Transform):
 
     def inverse(self, args=None):
         padding = (args or {}).get("padding", (0,) * 6)
-        return Crop(padding)
+        return Crop(padding, **self._sel())
 
 
 class EnforceConsistentAffine(Transform):
@@ -460,6 +461,10 @@ class CopyAffine(Transform):
         if self.target not in subject:
             return None
         source = subject[self.target]
-        for image in subject.get_images_dict().values():
+        # honor include/exclude (self.get_images_dict, not the subject's):
+        # CopyAffine(target, exclude=['mask']) must leave 'mask' untouched
+        for name, image in self.get_images_dict(subject).items():
+            if name == self.target:
+                continue
             image.affine = source.affine.copy()
         return None

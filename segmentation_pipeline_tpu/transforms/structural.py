@@ -141,9 +141,7 @@ class PermuteDimensions(SpatialTransform):
 
     def inverse(self, args=None):
         inverse_permutation = tuple(int(i) for i in np.argsort(self.permutation))
-        return PermuteDimensions(permutation=inverse_permutation, **{
-            k: v for k, v in self._selection_kwargs().items() if v is not None
-        })
+        return PermuteDimensions(permutation=inverse_permutation, **self._sel())
 
 
 class RandomPermuteDimensions(RandomTransform, SpatialTransform):
@@ -153,11 +151,11 @@ class RandomPermuteDimensions(RandomTransform, SpatialTransform):
     def __call__(self, subject, record: bool = True):
         if isinstance(subject, (list, tuple)):
             return [self(s, record=record) for s in subject]
+        if self.p < 1.0 and self.rng.random() > self.p:
+            return subject
         perm = [0, 1, 2]
         self.rng.shuffle(perm)
-        concrete = PermuteDimensions(tuple(perm), **{
-            k: v for k, v in self._selection_kwargs().items() if v is not None
-        })
+        concrete = PermuteDimensions(tuple(perm), **self._sel())
         return concrete(subject, record=record)
 
     def apply_transform(self, subject):  # pragma: no cover
