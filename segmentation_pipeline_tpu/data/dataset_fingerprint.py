@@ -19,7 +19,15 @@ from .subject_folder import SubjectFolder
 
 def get_bounds(mask: np.ndarray) -> dict:
     """Bounding-box summary of a boolean mask: per-axis extents, the crop
-    margins to reach them, box size and center."""
+    margins to reach them, box size and center.
+
+    Conventions match ref dataset_fingerprint.py:13-29 exactly: extents are
+    inclusive voxel indices, size = max - min (one less than the voxel
+    count), crop = (min, shape - max). An empty mask (a subject without that
+    label — e.g. a healthy control with no lesion voxels) yields None
+    instead of crashing the whole fingerprint run."""
+    if not mask.any():
+        return None
     coords = np.where(mask)
     lows = [int(c.min()) for c in coords]
     highs = [int(c.max()) for c in coords]
@@ -39,7 +47,9 @@ def get_label_bounds(label_map: LabelMap) -> dict:
     label_bounds["all"] = get_bounds(data[0] != 0)
     for label_name, label_value in label_values.items():
         label_bounds[label_name] = get_bounds(data[0] == label_value)
-    return label_bounds
+    # drop labels absent from this subject so the summary aggregates only
+    # real boxes (merge/summarize would choke on Nones)
+    return {k: v for k, v in label_bounds.items() if v is not None}
 
 
 def get_summary_stats(values: np.ndarray, axis=None) -> dict:
@@ -88,9 +98,12 @@ def get_dataset_fingerprint(dataset: SubjectFolder, transform=None, save: bool =
                             image_names: Optional[Sequence[str]] = None):
     subject_fingerprints = {}
     for subject in dataset.all_subjects:
+        # always work on a loaded deep copy: loading the pristine stored
+        # subjects in place would pin the entire dataset in host RAM (and
+        # mutate all_subjects) when transform is None
+        subject = copy.deepcopy(subject)
+        subject.load()
         if transform is not None:
-            subject = copy.deepcopy(subject)
-            subject.load()
             subject = transform(subject)
 
         if image_names is None:

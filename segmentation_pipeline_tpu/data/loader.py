@@ -180,8 +180,12 @@ class WeightedSampler(PatchSampler):
         super().__init__(patch_size)
         self.probability_map = probability_map
 
+    def _raw_prob(self, subject) -> np.ndarray:
+        """Unnormalized center-probability volume; subclass hook."""
+        return np.asarray(subject[self.probability_map].data)[0].astype(np.float64)
+
     def _valid_center_probs(self, subject) -> np.ndarray:
-        prob = np.asarray(subject[self.probability_map].data)[0].astype(np.float64)
+        prob = self._raw_prob(subject)
         spatial = np.array(prob.shape)
         if (spatial < self.patch_size).any():
             raise RuntimeError(
@@ -221,25 +225,14 @@ class LabelSampler(WeightedSampler):
         self.probability_map = label_name
         self.label_probabilities = label_probabilities
 
-    def _valid_center_probs(self, subject):
+    def _raw_prob(self, subject):
         label = np.asarray(subject[self.probability_map].data)[0]
         if self.label_probabilities:
             prob = np.zeros(label.shape, dtype=np.float64)
             for value, weight in self.label_probabilities.items():
                 prob[label == value] = weight
-        else:
-            prob = (label > 0).astype(np.float64)
-        spatial = np.array(prob.shape)
-        lo = self.patch_size // 2
-        hi = spatial - (self.patch_size - self.patch_size // 2)
-        masked = np.zeros_like(prob)
-        sl = tuple(slice(int(l), int(h) + 1) for l, h in zip(lo, hi))
-        masked[sl] = prob[sl]
-        total = masked.sum()
-        if total <= 0:
-            masked[sl] = 1.0
-            total = masked.sum()
-        return masked / total
+            return prob
+        return (label > 0).astype(np.float64)
 
 
 class PatchQueue:

@@ -197,7 +197,11 @@ class SubjectFolder:
         self.preload_subjects()
         if self.transform is not None:
             self._pretransformed = True
-            self.set_all_subjects([self.transform(s) for s in self.subjects])
+            # transform ALL subjects, not just the active cohort — rebuilding
+            # all_subjects from the cohort-filtered view would permanently
+            # discard every excluded subject from the dataset
+            self.set_all_subjects([self.transform(s) for s in self.all_subjects])
+            self.set_cohort(self.active_cohort)
 
     def load_additional_data(self, path: str, subject_loader: SubjectLoader):
         """Attach extra per-subject data (e.g. saved predictions) to matching

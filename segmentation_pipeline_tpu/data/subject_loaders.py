@@ -82,7 +82,14 @@ class AttributeLoader(SubjectLoader):
                 df = pd.read_excel(file_path, index_col=0)
             else:
                 df = pd.read_csv(file_path, index_col=0)
-            data = df.to_dict()
+            # row-oriented: {subject_name: {attr: value}} so the
+            # multi_subject lookup by name works (the reference's plain
+            # df.to_dict() at ref subject_loaders.py:104 is column-oriented,
+            # which silently never matches a subject name)
+            data = df.to_dict(orient="index")
+            if not self.multi_subject:
+                # single-subject table: one row of attributes
+                data = next(iter(data.values())) if len(data) else {}
 
         if self.uniform:
             self.uniform_cache[file_path] = data
@@ -174,7 +181,11 @@ class TensorLoader(SubjectLoader):
     def load_file(self, file_path):
         if self.uniform and file_path in self.uniform_cache:
             return self.uniform_cache[file_path]
-        data = {self.tensor_name: np.loadtxt(file_path, delimiter=" ")}
+        # default whitespace splitting (not delimiter=" ") so gradient tables
+        # with repeated spaces/tabs/trailing whitespace — typical FSL
+        # bvec/bval output — load; a strict single-space delimiter chokes on
+        # the empty fields (ref reconstruct_mean_dwi usage)
+        data = {self.tensor_name: np.loadtxt(file_path)}
         if self.uniform:
             self.uniform_cache[file_path] = data
         return data

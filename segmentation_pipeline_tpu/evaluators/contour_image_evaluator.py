@@ -149,16 +149,20 @@ class ContourImageEvaluator(Evaluator):
 
         img = self._slice_and_make_grid(subjects, plane, self.image_name,
                                         impute_shape, pad_value=-1)
+        # slice each label map ONCE and compare per label (slicing per label
+        # per map would redo the grid 2L times)
         masks_target = {}
         masks_pred = {}
         if out_target:
-            for name, value in label_values.items():
-                masks_target[name] = self._slice_and_make_grid(
-                    subjects, plane, self.target_label_map_name, impute_shape) == value
+            target_grid = self._slice_and_make_grid(
+                subjects, plane, self.target_label_map_name, impute_shape)
+            masks_target = {name: target_grid == value
+                            for name, value in label_values.items()}
         if out_pred:
-            for name, value in label_values.items():
-                masks_pred[name] = self._slice_and_make_grid(
-                    subjects, plane, self.prediction_label_map_name, impute_shape) == value
+            pred_grid = self._slice_and_make_grid(
+                subjects, plane, self.prediction_label_map_name, impute_shape)
+            masks_pred = {name: pred_grid == value
+                          for name, value in label_values.items()}
 
         H, W = img.shape
         fig = plt.figure(figsize=(W * self.scale, H * self.scale))
@@ -170,23 +174,28 @@ class ContourImageEvaluator(Evaluator):
                 + list(colormaps["Set1"].colors) + list(colormaps["Set2"].colors)
                 + list(colormaps["tab20"].colors))
 
-        warnings.filterwarnings("ignore")
-        contours = []
-        if out_target:
-            for name, value in label_values.items():
-                contour = plt.contour(Xg, Yg, masks_target[name], levels=[0.5],
-                                      colors=cmap[value:value + 1], **options)
-                contours.append(contour)
-            if self.legend and contours:
-                plt.legend([c.legend_elements()[0][0] for c in contours if
-                            c.legend_elements()[0]],
-                           list(label_values.items()), ncol=3,
-                           bbox_to_anchor=(0.5, 0), loc="upper center", fancybox=True)
-        if out_pred:
-            for name, value in label_values.items():
-                plt.contour(Xg, Yg, masks_pred[name], levels=[0.95], linestyles="dashed",
-                            colors=cmap[value:value + 1], **options)
-        warnings.resetwarnings()
+        with warnings.catch_warnings():
+            # scoped: resetwarnings() here would clobber the process-global
+            # warning filters installed by the application or pytest
+            warnings.simplefilter("ignore")
+            if out_target:
+                handles, handle_labels = [], []
+                for name, value in label_values.items():
+                    contour = plt.contour(Xg, Yg, masks_target[name], levels=[0.5],
+                                          colors=cmap[value:value + 1], **options)
+                    elements = contour.legend_elements()[0]
+                    if elements:  # empty contour -> no legend entry
+                        handles.append(elements[0])
+                        handle_labels.append(name)
+                if self.legend and handles:
+                    plt.legend(handles, handle_labels, ncol=3,
+                               bbox_to_anchor=(0.5, 0), loc="upper center",
+                               fancybox=True)
+            if out_pred:
+                for name, value in label_values.items():
+                    plt.contour(Xg, Yg, masks_pred[name], levels=[0.95],
+                                linestyles="dashed",
+                                colors=cmap[value:value + 1], **options)
 
         plt.tick_params(which="both", bottom=False, top=False, left=False,
                         labelbottom=False, labelleft=False)
