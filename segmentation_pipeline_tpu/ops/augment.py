@@ -116,8 +116,14 @@ def random_affine_warp(key, x, y, scales=0.2, degrees=45.0, pad_value=0.0):
     if y is not None:
         y_out = trilinear_sample(y, warped, nearest=True)
         # out-of-bounds label voxels become BACKGROUND, keeping one-hot
-        # targets valid (all-zero vectors would un-supervise those voxels)
-        background = jnp.zeros((y.shape[-1],), y.dtype).at[0].set(1.0)
+        # targets valid (all-zero vectors would un-supervise those voxels);
+        # a single-channel label is a binary/int mask whose background is 0,
+        # NOT a one-hot channel — setting it to 1 would paint a foreground
+        # frame around rotated volumes
+        if y.shape[-1] == 1:
+            background = jnp.zeros((1,), y.dtype)
+        else:
+            background = jnp.zeros((y.shape[-1],), y.dtype).at[0].set(1.0)
         y_out = jnp.where(oob[..., None], background, y_out)
     return x_out, y_out
 

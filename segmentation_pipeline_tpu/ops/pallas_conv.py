@@ -105,11 +105,26 @@ def _fwd(x, kernel):
     return _pallas_conv3x3_s1p1(x, kernel), (x, kernel)
 
 
+def _vmem_fits(H: int, D: int, cin: int, cout: int) -> bool:
+    """Same VMEM budget the forward dispatch enforces (slabs + accumulator +
+    kernel); the backward dX conv swaps cin/cout so it must re-check."""
+    vmem = 3 * (H + 2) * (D + 2) * cin * 4 * 2 + H * D * cout * 8 + 27 * cin * cout * 4
+    return vmem <= 12 * 1024 * 1024
+
+
 def _bwd(res, g):
     x, kernel = res
     # dX: conv of g with the spatially-flipped kernel, Cin/Cout swapped
     k_flip = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
-    dx = _pallas_conv3x3_s1p1(g, k_flip)
+    if _vmem_fits(g.shape[2], g.shape[3], g.shape[-1], kernel.shape[3]):
+        dx = _pallas_conv3x3_s1p1(g, k_flip)
+    else:
+        # transposed channel count blows the VMEM budget: XLA fallback for
+        # this gradient (numerics identical)
+        dx = lax.conv_general_dilated(
+            g, k_flip, window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
     # dW[tap] = x_window(tap)^T @ g over all voxels
     x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     N, W, H, D, cin = x.shape
@@ -143,7 +158,6 @@ def pallas_conv3d(x, kernel, stride: Tuple[int, int, int],
         return None
     H, D = x.shape[2], x.shape[3]
     cin, cout = x.shape[4], kernel.shape[-1]
-    vmem = 3 * (H + 2) * (D + 2) * cin * 4 * 2 + H * D * cout * 8 + 27 * cin * cout * 4
-    if vmem > 12 * 1024 * 1024:
+    if not _vmem_fits(H, D, cin, cout):
         return None
     return pallas_conv3d_3x3_s1p1(x, kernel)

@@ -21,12 +21,20 @@ from .augment import trilinear_sample
 
 @partial(jax.jit, static_argnames=("dst_shape", "nearest"))
 def _resample_jit(volume_cl: jnp.ndarray, matrix: jnp.ndarray, offset: jnp.ndarray,
-                  dst_shape: Tuple[int, int, int], nearest: bool) -> jnp.ndarray:
+                  dst_shape: Tuple[int, int, int], nearest: bool,
+                  cval: float = 0.0) -> jnp.ndarray:
     grids = jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) for s in dst_shape],
                          indexing="ij")
     dst_idx = jnp.stack(grids)  # (3, W', H', D')
     src_idx = jnp.einsum("ij,jwhd->iwhd", matrix, dst_idx) + offset[:, None, None, None]
-    return trilinear_sample(volume_cl, src_idx, nearest=nearest)
+    out = trilinear_sample(volume_cl, src_idx, nearest=nearest)
+    # constant fill outside the source grid (scipy mode='constant' parity —
+    # transforms/spatial.py host path); edge-clamped samples would smear the
+    # border across the out-of-FOV region
+    src_shape = jnp.asarray(volume_cl.shape[:3], jnp.float32)
+    inside = jnp.all((src_idx >= -0.5) &
+                     (src_idx <= src_shape[:, None, None, None] - 0.5), axis=0)
+    return jnp.where(inside[..., None], out, cval)
 
 
 def resample_volume(

@@ -85,11 +85,13 @@ import functools
 
 @functools.lru_cache(maxsize=64)
 def _distributed_window_program(model_fn, patch_size, mode, out_channels,
-                                mesh, axis_name):
+                                mesh, axis_name, patch_batch):
     """Build (once per static config) the jitted patch-grid-sharded
     sliding-window program; jax's own shape-keyed jit cache then makes
     repeated calls free.  model_fn must be a stable function object;
-    per-call values (network variables) ride in the traced ``model_args``."""
+    per-call values (network variables) ride in the traced ``model_args``.
+    ``patch_batch`` patches run through the model per step (MXU batching),
+    exactly like the single-device ops/sliding_window.py program."""
     pw, ph, pd = patch_size
 
     def local_work(volume, locs, valid, model_args):
@@ -104,22 +106,34 @@ def _distributed_window_program(model_fn, patch_size, mode, out_channels,
         # output (locs differ per device)
         acc = lax.pvary(acc, (axis_name,))
         div = lax.pvary(div, (axis_name,))
+        locs_b = locs.reshape(-1, patch_batch, 3)
+        valid_b = valid.reshape(-1, patch_batch)
 
         def body(carry, inputs):
-            loc, v = inputs
+            loc_batch, valid_batch = inputs
             acc, div = carry
-            patch = lax.dynamic_slice(volume, (loc[0], loc[1], loc[2], 0),
-                                      (pw, ph, pd, volume.shape[3]))
-            pred = model_fn(patch[None], *model_args)[0]
-            w = weight * v
-            start = (loc[0], loc[1], loc[2], 0)
-            cur = lax.dynamic_slice(acc, start, (pw, ph, pd, out_channels))
-            acc = lax.dynamic_update_slice(acc, cur + pred * w, start)
-            curd = lax.dynamic_slice(div, start, (pw, ph, pd, 1))
-            div = lax.dynamic_update_slice(div, curd + w, start)
+            patches = jax.vmap(
+                lambda loc: lax.dynamic_slice(
+                    volume, (loc[0], loc[1], loc[2], 0),
+                    (pw, ph, pd, volume.shape[3])))(loc_batch)
+            preds = model_fn(patches, *model_args)
+
+            def scatter(carry, args):
+                acc, div = carry
+                loc, pred, v = args
+                w = weight * v
+                start = (loc[0], loc[1], loc[2], 0)
+                cur = lax.dynamic_slice(acc, start, (pw, ph, pd, out_channels))
+                acc = lax.dynamic_update_slice(acc, cur + pred * w, start)
+                curd = lax.dynamic_slice(div, start, (pw, ph, pd, 1))
+                div = lax.dynamic_update_slice(div, curd + w, start)
+                return (acc, div), None
+
+            (acc, div), _ = lax.scan(scatter, (acc, div),
+                                     (loc_batch, preds, valid_batch))
             return (acc, div), None
 
-        (acc, div), _ = lax.scan(body, (acc, div), (locs, valid))
+        (acc, div), _ = lax.scan(body, (acc, div), (locs_b, valid_b))
         acc = lax.psum(acc, axis_name)
         div = lax.psum(div, axis_name)
         return acc / jnp.maximum(div, 1e-8)
@@ -161,11 +175,13 @@ def distributed_sliding_window(
     locations = grid_locations(spatial, patch_size, patch_overlap)
 
     n_dev = mesh.shape[axis_name]
-    # pad the location list so every device gets the same count; padded
-    # entries carry validity 0 so they contribute zero weight (a duplicated
-    # patch would otherwise be over-weighted in overlap regions)
-    per_dev = -(-len(locations) // n_dev)
-    total = per_dev * n_dev
+    patch_batch = max(1, int(patch_batch))
+    # pad the location list so every device gets the same count, a multiple
+    # of patch_batch; padded entries carry validity 0 so they contribute
+    # zero weight (a duplicated patch would otherwise be over-weighted in
+    # overlap regions)
+    chunk = n_dev * patch_batch
+    total = -(-len(locations) // chunk) * chunk
     n_real = len(locations)
     reps = np.concatenate([locations,
                            np.repeat(locations[-1:], total - n_real, 0)])
@@ -175,11 +191,12 @@ def distributed_sliding_window(
 
     if out_channels is None:
         probe = jax.eval_shape(model_fn, jax.ShapeDtypeStruct(
-            (1, *patch_size, volume.shape[3]), jnp.float32), *model_args)
+            (patch_batch, *patch_size, volume.shape[3]), jnp.float32), *model_args)
         out_channels = probe.shape[-1]
 
     fn = _distributed_window_program(model_fn, patch_size, mode,
-                                     int(out_channels), mesh, axis_name)
+                                     int(out_channels), mesh, axis_name,
+                                     patch_batch)
     out = fn(volume, jnp.asarray(locations_sharded), jnp.asarray(validity),
              tuple(model_args))
     return jnp.moveaxis(out, -1, 0)
@@ -224,23 +241,19 @@ def _sharded_volume_window_program(model_fn, patch_size, mode, out_channels,
 
         (acc, div), _ = lax.scan(body, (acc, div), (locs, valid))
 
-        # write-margin exchange: our left margin belongs to the left
-        # neighbor's interior tail; our right margin to the right neighbor's
-        # interior head
+        # write-margin exchange: patches are owned by the device containing
+        # their start row, so local writes span ext rows [pw, w_loc + 2pw) —
+        # only the RIGHT margin can hold spill (our right margin belongs to
+        # the right neighbor's interior head). Rows [0, pw) are provably
+        # never written, so no backward exchange is needed.
         n = lax.psum(1, axis_name)
         fwd = [(i, i + 1) for i in range(n - 1)]
-        bwd = [(i + 1, i) for i in range(n - 1)]
 
         # right margin -> right neighbor's head rows [pw, 2pw)
         acc_from_left = lax.ppermute(acc[-pw:], axis_name, fwd)
         div_from_left = lax.ppermute(div[-pw:], axis_name, fwd)
         acc = acc.at[pw:2 * pw].add(acc_from_left)
         div = div.at[pw:2 * pw].add(div_from_left)
-        # left margin -> left neighbor's tail rows [w_loc, w_loc+pw)
-        acc_from_right = lax.ppermute(acc[:pw], axis_name, bwd)
-        div_from_right = lax.ppermute(div[:pw], axis_name, bwd)
-        acc = acc.at[w_loc:w_loc + pw].add(acc_from_right)
-        div = div.at[w_loc:w_loc + pw].add(div_from_right)
 
         interior_acc = acc[pw:w_loc + pw]
         interior_div = div[pw:w_loc + pw]

@@ -37,7 +37,15 @@ def spatial_sharded_inference(model, volume_cf, mesh: Mesh,
             f"W={W} must be divisible by mesh_size*8 = {n_dev * 8} "
             f"(shard-aligned pooling at three levels)")
 
-    model.ensure_initialized(jnp.moveaxis(volume_cl, -1, 1))
+    if model.variables is None:
+        # init from a small divisibility-respecting dummy — conv params are
+        # shape-independent, and tracing init over the full volume would
+        # allocate full-size feature maps on ONE device, defeating the
+        # beyond-HBM purpose of this path
+        levels = getattr(model.module, "pooling_levels", 3)
+        s = 2 ** levels
+        cin = volume_cl.shape[-1]
+        model.ensure_initialized(np.zeros((1, cin, 2 * s, 2 * s, s), np.float32))
     sharded_module = model.module.clone(spatial_shard_axis=axis_name)
     variables = model.variables
 

@@ -255,12 +255,17 @@ class PatchPredict(Predictor):
                     sharded_volume_sliding_window,
                 )
 
-                window_fn = (sharded_volume_sliding_window if self.volume_sharded
-                             else distributed_sliding_window)
-                y_pred = window_fn(volume, model_fn, patch_size=patch_size,
-                                   patch_overlap=self.patch_overlap,
-                                   mode=mode, mesh=self.mesh,
-                                   model_args=model_args)
+                if self.volume_sharded:
+                    y_pred = sharded_volume_sliding_window(
+                        volume, model_fn, patch_size=patch_size,
+                        patch_overlap=self.patch_overlap,
+                        mode=mode, mesh=self.mesh, model_args=model_args)
+                else:
+                    y_pred = distributed_sliding_window(
+                        volume, model_fn, patch_size=patch_size,
+                        patch_overlap=self.patch_overlap,
+                        patch_batch=self.patch_batch_size,
+                        mode=mode, mesh=self.mesh, model_args=model_args)
                 if use_argmax:
                     # post-hoc device argmax: only ids cross the host link
                     y_pred = jnp.argmax(y_pred, axis=0).astype(

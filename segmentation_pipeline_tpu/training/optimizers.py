@@ -20,11 +20,20 @@ def _accumulate(tx: optax.GradientTransformation,
 
 
 def Adam(lr: float = 1e-3, betas=(0.9, 0.999), eps: float = 1e-8,
-         weight_decay: float = 0.0, accumulate_steps: int = 1,
+         weight_decay: float = 0.0, decoupled: bool = False,
+         accumulate_steps: int = 1,
          **_ignored) -> optax.GradientTransformation:
-    if weight_decay:
+    """torch.optim.Adam semantics: weight_decay adds wd*param to the
+    GRADIENT before the adaptive moments (L2-into-grad), which follows a
+    different trajectory than decoupled AdamW — pass decoupled=True for
+    AdamW."""
+    if weight_decay and decoupled:
         tx = optax.adamw(learning_rate=lr, b1=betas[0], b2=betas[1], eps=eps,
                          weight_decay=weight_decay)
+    elif weight_decay:
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adam(learning_rate=lr, b1=betas[0], b2=betas[1], eps=eps))
     else:
         tx = optax.adam(learning_rate=lr, b1=betas[0], b2=betas[1], eps=eps)
     return _accumulate(tx, accumulate_steps)

@@ -82,6 +82,9 @@ class SegmentationTrainer:
         self.save_rate = save_rate
         self.scoring_interval = scoring_interval
         self.scoring_function = scoring_function
+        # stored but never executed — exact reference parity: the reference
+        # trainer also only stores them (ref segmentation_trainer.py:60,73;
+        # every in-repo config passes [])
         self.one_time_evaluators = one_time_evaluators
         self.training_evaluators = training_evaluators
         self.validation_evaluators = validation_evaluators
@@ -177,6 +180,13 @@ class SegmentationTrainer:
                 training_dataset.preload_subjects()
             print(f"Done. Took {round(time.time() - t, 2)}s")
 
+        for scheduled in self.validation_evaluators:
+            if scheduled.cohorts is None and scheduled.subjects is None:
+                raise ValueError(
+                    f"Validation evaluator {scheduled.log_name!r} needs "
+                    f"cohorts= or subjects= — with neither it would silently "
+                    f"never run (training evaluators may omit both; they "
+                    f"evaluate the current batch)")
         validation_filter = self.get_filter_from_scheduled_evaluations(
             context.dataset, self.validation_evaluators)
         validation_dataset = context.dataset.get_cohort_dataset(validation_filter)
@@ -294,7 +304,16 @@ class SegmentationTrainer:
                                if self.iteration % s.interval == 0]
             if scheduled_train:
                 y_pred_cf = np.asarray(to_channels_first(y_pred_cl))
+                if self.device_augmentation is not None:
+                    # the prediction lives in the augmented geometry: write
+                    # the augmented target back so the evaluator compares
+                    # aligned volumes (the reference augments in the host
+                    # pipeline, so its subject['y'] is augmented too)
+                    y_aug_cf = np.asarray(to_channels_first(batch["y"]))
                 for i, subject in enumerate(subjects):
+                    if self.device_augmentation is not None and "y" in subject:
+                        subject["y"].set_data(
+                            y_aug_cf[i].astype(np.asarray(subject["y"].data).dtype))
                     _attach_prediction(subject, y_pred_cf[i], label_attributes)
                 add_evaluation_labels(subjects)
             for scheduled in scheduled_train:
