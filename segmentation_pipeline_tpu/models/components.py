@@ -200,7 +200,18 @@ class Block3d(nn.Module):
         conv_params = dict(self.conv_params or
                            {"kernel_size": 3, "padding": 1, "use_bias": False})
         if self.shard_axis_name is not None:
-            conv_params.setdefault("shard_axis_name", self.shard_axis_name)
+            import dataclasses
+
+            fields = {f.name for f in dataclasses.fields(self.conv_class)} \
+                if dataclasses.is_dataclass(self.conv_class) else set()
+            if "shard_axis_name" in fields:
+                conv_params.setdefault("shard_axis_name", self.shard_axis_name)
+            else:
+                raise ValueError(
+                    f"Spatial sharding requested but conv_class "
+                    f"{self.conv_class.__name__} has no shard_axis_name "
+                    f"field — its convs would silently compute wrong values "
+                    f"at shard boundaries")
         x_in = x
         for i in range(self.num_convs):
             x = self.conv_class(features=self.features, **conv_params)(x)

@@ -28,10 +28,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             return _LIB
         here = Path(__file__).parent
         so_path = here / "libspt_native.so"
-        src = here / "ccl.cpp"
+        sources = [here / "ccl.cpp", here / "nifti_io.cpp"]
         try:
+            newest_src = max(s.stat().st_mtime for s in sources if s.exists())
             if (not so_path.exists()
-                    or so_path.stat().st_mtime < src.stat().st_mtime):
+                    or so_path.stat().st_mtime < newest_src):
                 subprocess.run(["make", "-C", str(here)], check=True,
                                capture_output=True)
             lib = ctypes.CDLL(str(so_path))

@@ -47,25 +47,6 @@ bool parse_header(const uint8_t* raw, size_t n, Header* h) {
     return true;
 }
 
-// inflate a gzip file fully into out (grows as needed)
-bool gunzip_file(const char* path, std::vector<uint8_t>& out) {
-    gzFile f = gzopen(path, "rb");
-    if (!f) return false;
-    gzbuffer(f, 1 << 20);
-    const size_t chunk = 4 << 20;
-    size_t size = 0;
-    for (;;) {
-        out.resize(size + chunk);
-        int got = gzread(f, out.data() + size, chunk);
-        if (got < 0) { gzclose(f); return false; }
-        size += static_cast<size_t>(got);
-        if (static_cast<size_t>(got) < chunk) break;
-    }
-    out.resize(size);
-    gzclose(f);
-    return true;
-}
-
 // read just the first max_bytes (cheap header peek: gzread stops early)
 bool read_file_prefix(const char* path, std::vector<uint8_t>& out, size_t max_bytes) {
     size_t len = std::strlen(path);
@@ -86,22 +67,6 @@ bool read_file_prefix(const char* path, std::vector<uint8_t>& out, size_t max_by
     std::fclose(f);
     out.resize(got);
     return true;
-}
-
-bool read_file(const char* path, std::vector<uint8_t>& out) {
-    size_t len = std::strlen(path);
-    if (len > 3 && std::strcmp(path + len - 3, ".gz") == 0) {
-        return gunzip_file(path, out);
-    }
-    FILE* f = std::fopen(path, "rb");
-    if (!f) return false;
-    std::fseek(f, 0, SEEK_END);
-    long n = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    out.resize(static_cast<size_t>(n));
-    size_t got = std::fread(out.data(), 1, out.size(), f);
-    std::fclose(f);
-    return got == out.size();
 }
 
 }  // namespace

@@ -47,23 +47,26 @@ def _remove_small_holes(mask: np.ndarray, hole_size: int) -> np.ndarray:
 
 
 def unsort_by_size(img: np.ndarray, sorted_labels: np.ndarray) -> np.ndarray:
-    out = img.copy()
-    for i in range(sorted_labels.shape[0]):
-        out[img == i] = sorted_labels[i]
-    return out
+    # img holds dense rank indices 0..K-1: one LUT gather instead of K
+    # full-volume masked assignments
+    return sorted_labels[img]
 
 
 def sort_by_size(img: np.ndarray, descending: bool = False):
     """Relabel so that label rank follows component size (ref :12-26)."""
-    out = img.copy()
     unique_labels, unique_counts = np.unique(img, return_counts=True)
     ids = np.argsort(unique_counts, kind="stable")
     if descending:
         ids = ids[::-1]
     unique_labels = unique_labels[ids]
     unique_counts = unique_counts[ids]
-    for i in range(ids.shape[0]):
-        out[img == unique_labels[i]] = i
+    # LUT: original label value -> rank; labels are arbitrary ints so map
+    # through searchsorted over the sorted unique values (one volume pass).
+    # ascending[j] = unique_labels[order[j]], so a voxel matching ascending
+    # position j carries rank order[j].
+    order = np.argsort(unique_labels, kind="stable")
+    positions = np.searchsorted(unique_labels[order], img)
+    out = order.astype(img.dtype)[positions]
     return out, unique_labels, unique_counts
 
 
@@ -79,7 +82,9 @@ def keep_components(img: np.ndarray, num: int, max_dilations: int = 100):
         remove = ~keep
         if i == 0:
             num_elements_removed = int(remove.sum())
-            num_components_removed = int(img_comp_sorted.max()) - num
+            # clamp: fewer components than ``num`` must report 0, not a
+            # negative count
+            num_components_removed = max(0, int(img_comp_sorted.max()) - num)
         if remove.sum() == 0:
             break
         sorted_img, sorted_labels, _ = sort_by_size(img)

@@ -37,12 +37,21 @@ def reverse_split_and_flip(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_stochastic_matrix(y_pred: jnp.ndarray, y_prior: jnp.ndarray) -> jnp.ndarray:
-    """Cascade refinement: contract the C x C transition matrix with the prior
-    (ref prediction.py:30-38). Channel-first tensors."""
+    """Cascade refinement: contract the per-voxel C x C transition matrix
+    with the prior distribution. Channel-first tensors.
+
+    refined[row] = sum_col M[row, col] * prior[col] — a proper Markov
+    update of the prior by the column-stochastic matrix the StochasticMatrix
+    head produces (softmax over rows). NOTE: this deliberately diverges from
+    ref prediction.py:30-38, whose dim=1 contraction is a provable identity
+    (sum_row M[row, col] * prior[col] = prior[col] since columns sum to 1) —
+    likely why the reference left the call site commented out
+    (ref prediction.py:87-90). Here the cascade actually refines.
+    """
     N, C = y_prior.shape[0], y_prior.shape[1]
     spatial = y_prior.shape[2:]
     y_pred = y_pred.reshape(N, C, C, *spatial)
-    return (y_pred * y_prior[:, None]).sum(axis=1)
+    return (y_pred * y_prior[:, None]).sum(axis=2)
 
 
 class Predictor(ABC):
@@ -101,6 +110,13 @@ class StandardPredict(Predictor):
         else:
             y_pred = model(batch["X"])
 
+        if self.refine_image is not None:
+            # cascade: contract the C^2-channel transition-matrix output with
+            # the prior (the reference declares refine_image but leaves the
+            # application commented out, ref prediction.py:87-90; see
+            # apply_stochastic_matrix for the corrected contraction)
+            y_pred = apply_stochastic_matrix(y_pred, batch[self.refine_image])
+
         batch["y_pred"] = y_pred
         n_ch = y_pred.shape[1]
         if self.device_argmax and n_ch > 1:
@@ -150,16 +166,27 @@ class PatchPredict(Predictor):
 
     # static model_fns cached per flax module so repeated predict() calls hit
     # the jit cache (the network variables are passed as traced args — fresh
-    # weights every call, no staleness, no recompiles for repeated shapes)
-    _module_fns: dict = {}
+    # weights every call, no staleness, no recompiles for repeated shapes).
+    # Bounded FIFO: an unbounded id()-keyed dict would pin every module ever
+    # predicted with (plus its jit cache entries) for the process lifetime.
+    _module_fns: "OrderedDict" = None
+    _MODULE_FN_CACHE_SIZE = 16
 
     @classmethod
     def _fn_for_module(cls, module, compute_dtype=None):
+        from collections import OrderedDict
+
+        if cls._module_fns is None:
+            cls._module_fns = OrderedDict()
         dtype = None
         if compute_dtype is not None:
             dtype = jnp.dtype(compute_dtype)
             if dtype == jnp.dtype(jnp.float32):
                 dtype = None
+        # id()-keyed, but safe: each cached closure strong-refs its module,
+        # so a live entry's id cannot be reused; eviction drops entry and
+        # ref together (value-hashing flax modules would break on dict
+        # fields like hypothesis_params)
         key = (id(module), dtype)
         fn = cls._module_fns.get(key)
         if fn is None:
@@ -170,6 +197,10 @@ class PatchPredict(Predictor):
                 return y.astype(jnp.float32)
 
             cls._module_fns[key] = fn
+            while len(cls._module_fns) > cls._MODULE_FN_CACHE_SIZE:
+                cls._module_fns.popitem(last=False)
+        else:
+            cls._module_fns.move_to_end(key)
         return fn
 
     @staticmethod
@@ -190,7 +221,7 @@ class PatchPredict(Predictor):
         return probe.shape[-1]
 
     def predict(self, model, subjects, label_attributes=None):
-        mode = "average" if self.overlap_mode == "average" else self.overlap_mode
+        mode = self.overlap_mode
         patch_size = self.patch_size
         if isinstance(patch_size, int):
             patch_size = (patch_size,) * 3

@@ -63,9 +63,18 @@ def _normalize_compute_dtype(compute_dtype):
     return dtype
 
 
+def _apply_stochastic_matrix_cl(y_pred: jnp.ndarray, y_prior: jnp.ndarray) -> jnp.ndarray:
+    """Channels-last cascade contraction: y_pred (..., C^2) holds per-voxel
+    column-stochastic C x C matrices (row-major); refined[..., row] =
+    sum_col M[row, col] * prior[..., col] (see prediction.apply_stochastic_matrix)."""
+    C = y_prior.shape[-1]
+    M = y_pred.reshape(*y_pred.shape[:-1], C, C)
+    return jnp.einsum("...rc,...c->...r", M, y_prior)
+
+
 def make_train_step(module, criterion, optimizer, mesh: Optional[Mesh] = None,
                     data_axis: str = "data", sagittal_split: bool = False,
-                    compute_dtype=None):
+                    compute_dtype=None, refine_image: Optional[str] = None):
     """Returns train_step(state, batch_cl, rng) -> (state, metrics, y_pred).
 
     batch_cl: {'X': (N, W, H, D, C), 'y': (N, W, H, D, C)} channels-last.
@@ -106,6 +115,10 @@ def make_train_step(module, criterion, optimizer, mesh: Optional[Mesh] = None,
         if sagittal_split:
             y_pred = _reverse_split_and_flip_cl(y_pred)
         y_pred = y_pred.astype(jnp.float32)
+        if refine_image is not None:
+            # cascade: C^2-channel transition matrices contracted with the
+            # prior (batch must carry the refine image channels-last)
+            y_pred = _apply_stochastic_matrix_cl(y_pred, batch[refine_image])
         loss_dict = criterion(y_pred, batch["y"])
         return loss_dict["loss"], (loss_dict, new_batch_stats, y_pred)
 
@@ -123,9 +136,12 @@ def make_train_step(module, criterion, optimizer, mesh: Optional[Mesh] = None,
         return jax.jit(step_fn, donate_argnums=(0,))
 
     data = NamedSharding(mesh, P(data_axis))
+    batch_shardings = {"X": data, "y": data}
+    if refine_image is not None:
+        batch_shardings[refine_image] = data
     return jax.jit(
         step_fn,
-        in_shardings=(None, {"X": data, "y": data}, None),
+        in_shardings=(None, batch_shardings, None),
         donate_argnums=(0,),
     )
 

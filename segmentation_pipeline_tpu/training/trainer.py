@@ -223,6 +223,13 @@ class SegmentationTrainer:
         rng = jax.random.PRNGKey(self.iteration)
         max_iterations = int(max_iterations if max_iterations is not None else 10 ** 9)
 
+        refine_image = getattr(self.train_predictor, "refine_image", None)
+        if refine_image is not None and self.device_augmentation is not None:
+            raise ValueError(
+                "device_augmentation with a refine_image (cascade) predictor "
+                "is not supported: geometric augmentation would misalign the "
+                "prior — augment in the host pipeline instead")
+
         def fetch_and_upload():
             """Pull the next batch from the host pipeline and start its
             async H2D transfer. Called while the device is busy with the
@@ -232,6 +239,11 @@ class SegmentationTrainer:
                 "X": np.stack([np.asarray(s["X"].data) for s in subjects]).astype(np.float32),
                 "y": np.stack([np.asarray(s["y"].data) for s in subjects]).astype(np.float32),
             }
+            if refine_image is not None:
+                # cascade prior rides along for the train step's refinement
+                batch_cf[refine_image] = np.stack(
+                    [np.asarray(s[refine_image].data) for s in subjects]
+                ).astype(np.float32)
             if self.spatial_axis is not None:
                 data_axis = self._spatial_data_axis()
                 return subjects, collate_to_device(
@@ -272,7 +284,8 @@ class SegmentationTrainer:
                     train_step = make_train_step(model.module, criterion,
                                                  optimizer, mesh=self.mesh,
                                                  sagittal_split=sagittal_split,
-                                                 compute_dtype=self.compute_dtype)
+                                                 compute_dtype=self.compute_dtype,
+                                                 refine_image=refine_image)
 
             if self.device_augmentation is not None:
                 from ..ops.augment import augment_batch

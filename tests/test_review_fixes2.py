@@ -103,3 +103,100 @@ class TestResampleConstantFill:
                                          (16, 16, 16), order=0))
         assert out[0, 0, 0, 0] == 0.0, "outside the source FOV must be cval"
         assert out[0, 8, 8, 8] == 5.0, "inside the source FOV keeps data"
+
+
+class TestCascadeRefinement:
+    def test_apply_stochastic_matrix_is_markov_update(self):
+        rng = np.random.default_rng(0)
+        N, C, sp_shape = 2, 3, (4, 4, 2)
+        logits = rng.normal(size=(N, C, C, *sp_shape)).astype(np.float32)
+        M = np.exp(logits) / np.exp(logits).sum(axis=1, keepdims=True)  # col-stochastic
+        prior = rng.random((N, C, *sp_shape)).astype(np.float32)
+        prior /= prior.sum(axis=1, keepdims=True)
+
+        out = np.asarray(sp.apply_stochastic_matrix(
+            jnp.asarray(M.reshape(N, C * C, *sp_shape)), jnp.asarray(prior)))
+        expected = np.einsum("nrcwhd,ncwhd->nrwhd", M, prior)
+        np.testing.assert_allclose(out, expected, atol=1e-6)
+        # a proper refinement: NOT the identity the reference computes
+        assert not np.allclose(out, prior)
+        # still a distribution per voxel
+        np.testing.assert_allclose(out.sum(axis=1), 1.0, atol=1e-5)
+
+    def test_standard_predict_applies_refinement(self):
+        from tests.conftest import make_subject
+
+        class MatrixModel:
+            def __call__(self, x):
+                x = jnp.asarray(x)
+                N, _, W, H, D = x.shape
+                logits = jnp.stack([x[:, 0], -x[:, 0], x[:, 0] * 0, x[:, 0] * 0],
+                                   axis=1).reshape(N, 2, 2, W, H, D)
+                M = jax.nn.softmax(logits, axis=1)
+                return M.reshape(N, 4, W, H, D)
+
+        s = make_subject(spatial_shape=(8, 8, 4))
+        s["X"] = s["img"]
+        prior = np.zeros((2, 8, 8, 4), np.float32)
+        prior[0] = 0.3
+        prior[1] = 0.7
+        from segmentation_pipeline_tpu.core.subject import ScalarImage
+        s["y_prior"] = ScalarImage(tensor=prior, affine=np.eye(4))
+
+        subs, batch = sp.StandardPredict(
+            image_names=["X"], refine_image="y_prior").predict(
+            MatrixModel(), [s], label_attributes={})
+        y = np.asarray(subs[0]["y_pred"].data)
+        assert y.shape[0] == 2, "refined prediction has C channels, not C^2"
+        np.testing.assert_allclose(y.sum(axis=0), 1.0, atol=1e-5)
+
+    def test_cascade_training_end_to_end(self, tmp_path):
+        """The fused train step contracts the C^2 head with the prior: loss
+        is finite and decreases (was: shape crash / silently unusable)."""
+        from research.dmri_hippo.configs import cascade
+        import tests.test_research_configs as rc
+        from tests.test_research_configs import CROP
+
+        class _F:
+            def __init__(self, p):
+                self._p = p
+
+            def mktemp(self, name):
+                d = self._p / name
+                d.mkdir(exist_ok=True)
+                return d
+
+        root = rc.hippo_root.__wrapped__(_F(tmp_path))
+        preds = tmp_path / "preds"
+        for sub in (root / "subjects").iterdir():
+            d = preds / "subjects" / sub.name
+            d.mkdir(parents=True)
+            if (sub / "whole_roi.nii.gz").exists():
+                data, affine = sp.read_nifti(sub / "whole_roi.nii.gz")
+            else:
+                # stage-1 predictions exist for every subject in practice
+                data, affine = sp.read_nifti(sub / "mean_dwi.nii.gz")
+                data = (np.asarray(data) > np.asarray(data).mean()).astype(np.int16)
+            sp.write_nifti(d / "standard.nii.gz", np.asarray(data).astype(np.int16),
+                           affine)
+
+        context = cascade.get_context(
+            variables={"DATASET_PATH": str(root), "PREDICTIONS_PATH": str(preds)},
+            prior_label_name="standard", fold=0, predict_hbt=False,
+            crop_shape=CROP, filters=4)
+        context.init_components()
+        losses = []
+
+        class Capture:
+            def setup(self, context):
+                pass
+
+            def save_context(self, *a, **k):
+                pass
+
+            def log(self, d):
+                losses.append(d["loss"])
+
+        context.trainer.train(context, max_iterations=6, logger=Capture())
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
