@@ -25,6 +25,8 @@ def main(task_count, task_id, cpus_per_job, tmpdir,
                for values in itertools.product(*params.values())]
 
     current = [c for i, c in enumerate(configs) if i % task_count == task_id]
+    if not current:  # more array tasks than configs: nothing for this id
+        return
 
     cpu_list = [0] * len(current)
     for i in range(cpus_per_job):

@@ -14,7 +14,8 @@ from pathlib import Path
 
 import numpy as np
 
-from segmentation_pipeline_tpu import Context, EnsembleFlips, EnsembleModels, Subject
+from segmentation_pipeline_tpu import (Context, EnsembleFlips, EnsembleModels,
+                                       Subject, list_checkpoint_files)
 from segmentation_pipeline_tpu.post_processing import keep_components, remove_holes
 from segmentation_pipeline_tpu.transforms.base import invert_records
 
@@ -90,7 +91,7 @@ def main(ensemble_path, dataset_path, run_name, output_filename=None, out_folder
 
     ensemble_path = Path(ensemble_path)
     contexts = []
-    for file_path in sorted(ensemble_path.iterdir()):
+    for file_path in list_checkpoint_files(ensemble_path):
         context = Context(file_path=file_path,
                           variables=dict(DATASET_PATH=str(dataset_path)))
         context.keep_components(("model", "trainer", "dataset"))
@@ -117,6 +118,11 @@ def main(ensemble_path, dataset_path, run_name, output_filename=None, out_folder
             dataset=dataset, batch_size=batch_size, num_workers=num_workers)
 
         base_file_name = generate_file_name(context, output_filename)
+        report_path = Path(out_folder) / (base_file_name + ".txt")
+        # truncate once per run, then append per batch (mode 'w' inside the
+        # loop kept only the last batch's stats; unconditional 'a' grew the
+        # file forever across reruns)
+        report_path.write_text("")
         for subjects in dataloader:
             subjects = inference(subjects, context.trainer.validation_predictor,
                                  context.model)
@@ -124,8 +130,7 @@ def main(ensemble_path, dataset_path, run_name, output_filename=None, out_folder
                                       base_file_name + "_before_processing")
             txt_output = post_process_subjects(subjects, "y_pred")
             print(txt_output)
-            mode = "w" if output_filename is None else "a"
-            with open(Path(out_folder) / (base_file_name + ".txt"), mode) as f:
+            with open(report_path, "a") as f:
                 f.write(txt_output)
             save_subjects_predictions(subjects, out_folder, base_file_name)
 

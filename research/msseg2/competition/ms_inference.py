@@ -19,6 +19,7 @@ from segmentation_pipeline_tpu import (
     EnsembleOrientations,
     PatchPredict,
     Subject,
+    list_checkpoint_files,
 )
 from segmentation_pipeline_tpu.post_processing import remove_holes, remove_small_components
 from segmentation_pipeline_tpu.transforms.base import invert_records
@@ -93,10 +94,15 @@ def main():
     args = parser.parse_args()
 
     contexts = []
-    for file_path in sorted(Path(args.ensemble_path).iterdir()):
+    for i, file_path in enumerate(list_checkpoint_files(Path(args.ensemble_path))):
         context = Context(file_path=file_path,
                           variables=dict(DATASET_PATH=args.dataset_path))
-        context.keep_components(("model", "dataset"))
+        # under --ensemble-folds only contexts[0].dataset is used; per-fold
+        # evaluation without it still needs each dataset, so keep the first
+        # always and the rest only when folds are NOT ensembled
+        keep = ("model", "dataset") if (i == 0 or not args.ensemble_folds) \
+            else ("model",)
+        context.keep_components(keep)
         context.init_components()
         if args.ensemble_orientations == "orientations":
             context.model = EnsembleOrientations(context.model, strategy="majority")

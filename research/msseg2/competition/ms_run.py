@@ -36,8 +36,16 @@ def main():
     input_folder = data_folder / "input" / "raw_data"
     subject_folder = input_folder / "01"
     subject_folder.mkdir(exist_ok=True, parents=True)
-    shutil.copy(args.time01, subject_folder / "flair_time01_on_middle_space.nii.gz")
-    shutil.copy(args.time02, subject_folder / "flair_time02_on_middle_space.nii.gz")
+    # preserve the source compression suffix: read_nifti picks gzip by
+    # extension, so copying an uncompressed .nii to a hardcoded .nii.gz name
+    # would fail with BadGzipFile (the loader glob is 'flair_time01*')
+    def _suffix(path):
+        return ".nii.gz" if str(path).endswith(".gz") else ".nii"
+
+    shutil.copy(args.time01,
+                subject_folder / f"flair_time01_on_middle_space{_suffix(args.time01)}")
+    shutil.copy(args.time02,
+                subject_folder / f"flair_time02_on_middle_space{_suffix(args.time02)}")
 
     output_folder = data_folder / "output"
     output_folder.mkdir(exist_ok=True, parents=True)
@@ -55,7 +63,8 @@ def main():
 
         from segmentation_pipeline_tpu import read_nifti, write_nifti
 
-        data, affine = read_nifti(subject_folder / "flair_time01_on_middle_space.nii.gz")
+        data, affine = read_nifti(
+            subject_folder / f"flair_time01_on_middle_space{_suffix(args.time01)}")
         write_nifti(subject_folder / "brain_mask.nii.gz",
                     np.ones_like(data, dtype=np.int16), affine)
         inference_input = input_folder

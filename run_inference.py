@@ -26,6 +26,7 @@ from segmentation_pipeline_tpu import (
     Subject,
     TargetResample,
     filter_transform,
+    list_checkpoint_files,
 )
 from segmentation_pipeline_tpu.post_processing import remove_holes
 from segmentation_pipeline_tpu.transforms.base import invert_records
@@ -58,13 +59,17 @@ def test_time_augmentation(subject, predictor, model, orientation_count=48):
 
         [aug_subject], _ = predictor.predict(model, [aug_subject])
 
-        y_pred = np.argmax(np.asarray(aug_subject["y_pred"].data), axis=0)[None]
-        aug_subject["y_pred"].set_data(y_pred.astype(np.int32))
-
-        pred_subject = Subject({"y": aug_subject["y_pred"]})
+        # invert the C-channel prediction FIRST: pipelines ending in
+        # CustomOneHot(include=['y']) record an inverse CustomArgMax that
+        # performs the argmax during inversion — argmaxing before it would
+        # leave a single-channel map whose second argmax zeroes everything
+        pred_subject = Subject({"y": copy.deepcopy(aug_subject["y_pred"])})
         pred_subject = invert_records(pred_subject, aug_subject.get_composed_history(),
                                       warn=False)
-        predictions.append(np.asarray(pred_subject.get_first_image().data))
+        pred = np.asarray(pred_subject.get_first_image().data)
+        if pred.shape[0] > 1:  # no OneHot in the history: argmax here
+            pred = np.argmax(pred, axis=0)[None]
+        predictions.append(pred.astype(np.int32))
 
     stacked = np.stack(predictions)  # (T, 1, W, H, D)
     flat = stacked.reshape(stacked.shape[0], -1)
@@ -93,14 +98,14 @@ def main():
     args = parser.parse_args()
 
     checkpoint_path = Path(args.checkpoint_path)
-    files = sorted(checkpoint_path.iterdir()) if checkpoint_path.is_dir() \
-        else [checkpoint_path]
+    files = list_checkpoint_files(checkpoint_path)
 
     contexts = []
-    for file_path in files:
+    for i, file_path in enumerate(files):
         context = Context(file_path=str(file_path),
                           variables=dict(DATASET_PATH=args.dataset_path))
-        context.keep_components(("model", "dataset"))
+        # only the first context's dataset is used: skip N-1 full ingestions
+        context.keep_components(("model", "dataset") if i == 0 else ("model",))
         context.init_components()
         contexts.append(context)
     context = contexts[0]

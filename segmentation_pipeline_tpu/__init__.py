@@ -80,6 +80,7 @@ from .evaluators import (
 )
 from .training import (
     Adam,
+    list_checkpoint_files,
     collate_to_device,
     Context,
     create_train_state,

@@ -127,9 +127,12 @@ def read_nifti(path) -> Tuple[np.ndarray, np.ndarray]:
     if swap:
         arr = arr.astype(arr.dtype.newbyteorder("="))
 
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        arr = arr.astype(np.float32) * slope + scl_inter
+    # NIfTI-1 spec: scl_slope == 0 (or NaN) means IGNORE the scaling
+    # fields entirely — applying a leftover scl_inter there would offset
+    # every voxel (nibabel behavior matched)
+    if (scl_slope != 0.0 and not np.isnan(scl_slope)
+            and (scl_slope != 1.0 or scl_inter != 0.0)):
+        arr = arr.astype(np.float32) * scl_slope + scl_inter
 
     # sform preferred, then qform, then pixdim-diagonal
     if sform_code > 0:

@@ -1,4 +1,4 @@
-from .context import Context, Ref, TorchContext
+from .context import Context, Ref, TorchContext, list_checkpoint_files
 from .model import SegModel, to_channels_first, to_channels_last
 from .optimizers import SGD, Adam
 from .train_step import (TrainState, collate_to_device, create_train_state,

@@ -116,6 +116,19 @@ def _restore(value):
     return value
 
 
+def list_checkpoint_files(path):
+    """Checkpoint files in a folder, sorted — excluding the '<name>.arrays/'
+    orbax sidecar directories write_snapshot creates next to each pickle
+    (iterating those as checkpoints raises IsADirectoryError)."""
+    from pathlib import Path
+
+    path = Path(path)
+    if not path.is_dir():
+        return [path]
+    return sorted(p for p in path.iterdir()
+                  if p.is_file() and not p.name.endswith(".arrays"))
+
+
 class Context:
     """Entity-component system for experiments (API parity with TorchContext).
 

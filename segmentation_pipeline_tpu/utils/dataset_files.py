@@ -27,11 +27,29 @@ def prepare_dataset_files(dataset_path, work_path=None) -> Path:
     if dataset_path.suffixes[-1:] == [".tar"] or dataset_path.name.endswith(
             (".tar.gz", ".tgz")):
         work_path = Path(work_path) if work_path else dataset_path.parent
-        target = work_path / dataset_path.name.split(".")[0]
+        # derive the target from the archive's actual top-level entries, not
+        # from the file name (a 'data.v2.tar.gz' extracting 'data.v2/' — or a
+        # flat-rooted tar — would otherwise return a path that never exists
+        # and re-extract on every run)
+        with tarfile.open(dataset_path) as tar:
+            roots = {n.split("/", 1)[0] for n in tar.getnames()
+                     if n and not n.startswith((".", "/"))}
+        if len(roots) == 1:
+            target = work_path / next(iter(roots))
+            extract_to = work_path
+        else:
+            # flat or multi-rooted archive: extract into a dedicated folder
+            stem = dataset_path.name
+            for suffix in (".tar.gz", ".tgz", ".tar"):
+                if stem.endswith(suffix):
+                    stem = stem[: -len(suffix)]
+                    break
+            target = work_path / stem
+            extract_to = target
         if not target.exists():
-            work_path.mkdir(parents=True, exist_ok=True)
+            extract_to.mkdir(parents=True, exist_ok=True)
             with tarfile.open(dataset_path) as tar:
-                tar.extractall(work_path)
+                tar.extractall(extract_to)
         return target
 
     raise ValueError(f"Dataset path {dataset_path} is neither a directory nor a tar archive")

@@ -44,12 +44,18 @@ def save_dataset_as_nn_unet(
         folder.mkdir(parents=True, exist_ok=True)
 
     def save_images(image_path, subject_id, subject, name_cache, save_label_map):
+        # Subject ids stay stable for partial exports (the id advances for
+        # skipped subjects), but ONLY written subjects register in
+        # name_cache: dataset.json/splits referencing never-written files
+        # crash nnUNet preprocessing. image_names_to_save filters by
+        # SUBJECT name (reference semantics, ref nn_unet_convert.py:50,
+        # despite the parameter name).
         assert all(name in subject for name in image_names)
         new_name = f"{short_name}_{subject_id:03}"
-        name_cache[subject["name"]] = new_name
 
         if image_names_to_save is not None and subject["name"] not in image_names_to_save:
             return
+        name_cache[subject["name"]] = new_name
 
         channel_id = 0
         for image_name in image_names:
@@ -88,8 +94,8 @@ def save_dataset_as_nn_unet(
             "tensorImageSize": "4D",
             "modality": {str(i): name for i, name in enumerate(image_names)},
             "labels": {str(v): k for k, v in label_values.items()},
-            "numTraining": len(cross_validation_dataset),
-            "numTest": len(test_dataset) if test_dataset is not None else 0,
+            "numTraining": len(cv_names),
+            "numTest": len(test_names),
             "training": [
                 {"image": f"./imagesTr/{name}.nii.gz",
                  "label": f"./labelsTr/{name}.nii.gz"}
@@ -109,10 +115,10 @@ def save_dataset_as_nn_unet(
             {
                 "train": [cv_names[s["name"]]
                           for s in cross_validation_dataset.subjects
-                          if s["fold"] != fold],
+                          if s["fold"] != fold and s["name"] in cv_names],
                 "val": [cv_names[s["name"]]
                         for s in cross_validation_dataset.subjects
-                        if s["fold"] == fold],
+                        if s["fold"] == fold and s["name"] in cv_names],
             }
             for fold in range(num_folds)
         ]

@@ -200,3 +200,94 @@ class TestCascadeRefinement:
         context.trainer.train(context, max_iterations=6, logger=Capture())
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
+
+
+class TestTTAWithOneHotHistory:
+    def test_tta_inverts_before_argmax(self, tmp_path):
+        """A pipeline ending in CustomOneHot(include=['y']) records an
+        inverse CustomArgMax; TTA must invert the C-channel prediction,
+        not argmax first (which zeroed every prediction)."""
+        import run_inference as ri
+        from tests.conftest import make_subject
+
+        class _Model:
+            def __call__(self, x):
+                fg = (jnp.asarray(x)[:, 0:1] > 0).astype(jnp.float32)
+                return jnp.concatenate([1 - fg, fg], axis=1)
+
+        import copy
+
+        s = make_subject(spatial_shape=(8, 8, 8))
+        # distinct objects: aliasing one Image under two names would apply
+        # each spatial transform twice to it
+        s["X"] = copy.deepcopy(s["img"])
+        s["y"] = copy.deepcopy(s["seg"])
+        del s["img"], s["seg"]
+        sp.CustomOneHot(include=["y"])(s)  # recorded on the history tape
+        assert len(s.history) == 1
+
+        out = ri.test_time_augmentation(s, sp.StandardPredict(image_names=["X"]),
+                                        _Model(), orientation_count=8)
+        expected = (np.asarray(s["X"].data)[0] > 0).astype(np.int32)
+        assert out.sum() > 0, "TTA must not zero the prediction"
+        np.testing.assert_array_equal(out[0], expected)
+
+
+class TestNiftiSclSlopeSpec:
+    def test_slope_zero_ignores_scaling(self, tmp_path):
+        import gzip
+        import struct
+
+        path = tmp_path / "x.nii.gz"
+        data = np.arange(8, dtype=np.float32).reshape(1, 2, 2, 2)
+        sp.write_nifti(path, data, np.eye(4))
+        raw = bytearray(gzip.open(path, "rb").read())
+        # scl_slope at offset 112, scl_inter at 116
+        struct.pack_into("<f", raw, 112, 0.0)
+        struct.pack_into("<f", raw, 116, 100.0)
+        with gzip.open(path, "wb") as f:
+            f.write(bytes(raw))
+        out, _ = sp.read_nifti(path)
+        np.testing.assert_allclose(np.asarray(out), data, atol=1e-6)
+
+
+class TestDatasetStaging:
+    def test_dotted_archive_name_and_real_root(self, tmp_path):
+        import tarfile
+
+        src = tmp_path / "data.v2"
+        (src / "subjects").mkdir(parents=True)
+        (src / "subjects" / "f.txt").write_text("x")
+        archive = tmp_path / "data.v2.tar.gz"
+        with tarfile.open(archive, "w:gz") as tar:
+            tar.add(src, arcname="data.v2")
+        work = tmp_path / "work"
+        out = sp.prepare_dataset_files(archive, work)
+        assert out.exists()
+        assert (out / "subjects" / "f.txt").read_text() == "x"
+        # second call: no re-extraction crash, same path
+        assert sp.prepare_dataset_files(archive, work) == out
+
+    def test_flat_rooted_archive(self, tmp_path):
+        import tarfile
+
+        src = tmp_path / "stuff"
+        src.mkdir()
+        (src / "a.txt").write_text("a")
+        (src / "b.txt").write_text("b")
+        archive = tmp_path / "flat.tar"
+        with tarfile.open(archive, "w") as tar:
+            tar.add(src / "a.txt", arcname="a.txt")
+            tar.add(src / "b.txt", arcname="b.txt")
+        out = sp.prepare_dataset_files(archive, tmp_path / "work2")
+        assert (out / "a.txt").exists() and (out / "b.txt").exists()
+
+
+class TestCheckpointListing:
+    def test_arrays_sidecars_excluded(self, tmp_path):
+        (tmp_path / "ctx-1.ckpt").write_bytes(b"x")
+        (tmp_path / "ctx-2.ckpt").write_bytes(b"x")
+        (tmp_path / "ctx-2.ckpt.arrays").mkdir()
+        files = sp.list_checkpoint_files(tmp_path)
+        names = [f.name for f in files]
+        assert names == ["ctx-1.ckpt", "ctx-2.ckpt"]
