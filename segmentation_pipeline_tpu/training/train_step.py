@@ -153,9 +153,23 @@ def collate_to_device(batch_cf: Dict[str, Any], mesh: Optional[Mesh] = None,
     over the mesh when given (the host->device boundary; the TPU analog of
     ref utils/utils.py:75-85 collate + .to(device)).  With ``spatial_axis``
     the W dimension is sharded too (the input layout for
-    make_spatial_train_step)."""
-    out = {k: to_channels_last(jnp.asarray(v, dtype=jnp.float32))
-           for k, v in batch_cf.items()}
+    make_spatial_train_step).
+
+    Dtypes are transfer-preserving: float64 downcasts to float32, but
+    float32/bf16/f16 and integer arrays ship as-is — the compact-transfer
+    path sends uint8 label ids (N, W, H, D; no channel axis to move) and
+    bf16 inputs to cut host-link bytes."""
+    import numpy as np
+
+    out = {}
+    for k, v in batch_cf.items():
+        v = np.asarray(v)
+        if v.dtype == np.float64:
+            v = v.astype(np.float32)
+        arr = jnp.asarray(v)
+        if arr.ndim == 5:  # (N, C, W, H, D) -> channels-last
+            arr = to_channels_last(arr)
+        out[k] = arr
     if mesh is not None:
         sharding = NamedSharding(mesh, P(data_axis, spatial_axis))
         out = {k: jax.device_put(v, sharding) for k, v in out.items()}
