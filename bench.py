@@ -11,7 +11,6 @@ torch-CPU reference stack measured fresh on this machine
 """
 import json
 import os
-import sys
 import time
 
 
@@ -72,8 +71,6 @@ def main():
         return loss
 
     chain_jit = jax.jit(chain)
-    import copy as _copy
-
     def fresh():
         return jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), state)
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, Sequence
 
 import numpy as np
-from scipy import ndimage as ndi
 
 from .evaluator import Evaluator
 from .labeled_tensor import LabeledTensor

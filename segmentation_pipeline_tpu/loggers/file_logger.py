@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import json
 import numbers
-import os
 from datetime import datetime
 from pathlib import Path
 

@@ -19,8 +19,6 @@ from ..utils.misc import is_sequence
 from .components import (
     AvgPoolDown,
     Block3d,
-    BlurConv3d,
-    BlurConvTranspose3d,
     Conv3d,
     Softmax,
     TrilinearUp,

@@ -16,7 +16,7 @@ from scipy import ndimage as ndi
 
 from ..core.subject import LabelMap
 from .base import RandomTransform, SpatialTransform
-from .spatial import Flip, _otsu_background_value, _pad_value
+from .spatial import Flip, _pad_value
 
 
 class RandomFlip(RandomTransform, SpatialTransform):

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import copy
 import json
-import os
 import pickle
 from collections import OrderedDict
 from pathlib import Path
