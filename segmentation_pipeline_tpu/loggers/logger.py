@@ -16,3 +16,8 @@ class Logger(ABC):
     @abstractmethod
     def log(self, log_dict: dict):
         ...
+
+    def close(self):
+        """Drain any pending asynchronous work (checkpoint writes, open
+        streams). The trainer calls this on every exit path so train()
+        never returns with a checkpoint still mid-write. No-op by default."""

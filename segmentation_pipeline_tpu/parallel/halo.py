@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.sliding_window import grid_locations, hann_window
 
@@ -104,8 +104,8 @@ def _distributed_window_program(model_fn, patch_size, mode, out_channels,
         div = jnp.zeros((W, H, D, 1), jnp.float32)
         # mark as device-varying so the scan carry type matches the body
         # output (locs differ per device)
-        acc = lax.pvary(acc, (axis_name,))
-        div = lax.pvary(div, (axis_name,))
+        acc = lax.pcast(acc, (axis_name,), to="varying")
+        div = lax.pcast(div, (axis_name,), to="varying")
         locs_b = locs.reshape(-1, patch_batch, 3)
         valid_b = valid.reshape(-1, patch_batch)
 
@@ -222,8 +222,8 @@ def _sharded_volume_window_program(model_fn, patch_size, mode, out_channels,
 
         acc = jnp.zeros((w_loc + 2 * pw, H, D, out_channels), jnp.float32)
         div = jnp.zeros((w_loc + 2 * pw, H, D, 1), jnp.float32)
-        acc = lax.pvary(acc, (axis_name,))
-        div = lax.pvary(div, (axis_name,))
+        acc = lax.pcast(acc, (axis_name,), to="varying")
+        div = lax.pcast(div, (axis_name,), to="varying")
 
         def body(carry, inputs):
             loc, v = inputs

@@ -47,8 +47,19 @@ def _remove_small_holes(mask: np.ndarray, hole_size: int) -> np.ndarray:
 
 
 def unsort_by_size(img: np.ndarray, sorted_labels: np.ndarray) -> np.ndarray:
-    # img holds dense rank indices 0..K-1: one LUT gather instead of K
-    # full-volume masked assignments
+    """Invert :func:`sort_by_size` (ref post_processing.py:5-10).
+
+    ``img`` must hold the DENSE RANK indices ``0..len(sorted_labels)-1``
+    produced by ``sort_by_size`` — it is a LUT gather, not the reference's
+    masked-assignment loop, so values outside that range are an error
+    rather than being passed through untouched.
+    """
+    if img.size and (int(img.min()) < 0
+                     or int(img.max()) >= len(sorted_labels)):
+        raise ValueError(
+            f"unsort_by_size expects dense rank indices in "
+            f"[0, {len(sorted_labels)}); got range "
+            f"[{int(img.min())}, {int(img.max())}]")
     return sorted_labels[img]
 
 

@@ -204,21 +204,30 @@ class PatchPredict(Predictor):
         return fn
 
     @staticmethod
-    def _out_channels_for(model, in_channels: int, patch_size) -> int:
-        """Output channel count via shape-only evaluation (no compute)."""
+    def _out_channels_for(model, in_channels: int, patch_size):
+        """Output channel count via shape-only evaluation (no compute).
+
+        Returns None when the probe fails — generic callables doing
+        host-side numpy work or lazy init are not jax-traceable, and that
+        must disable device_argmax (full-probability fetch), not crash a
+        prediction path that works fine without it.
+        """
         import jax
 
-        if hasattr(model, "module") and hasattr(model, "variables"):
-            probe = jax.eval_shape(
-                lambda v, x: model.module.apply(v, x, train=False),
-                model.variables,
-                jax.ShapeDtypeStruct((1, *patch_size, in_channels), jnp.float32))
-        else:
+        try:
+            if hasattr(model, "module") and hasattr(model, "variables"):
+                probe = jax.eval_shape(
+                    lambda v, x: model.module.apply(v, x, train=False),
+                    model.variables,
+                    jax.ShapeDtypeStruct((1, *patch_size, in_channels),
+                                         jnp.float32))
+                return probe.shape[-1]
             probe = jax.eval_shape(
                 model, jax.ShapeDtypeStruct((1, in_channels, *patch_size),
                                             jnp.float32))
             return probe.shape[1]
-        return probe.shape[-1]
+        except Exception:
+            return None
 
     def predict(self, model, subjects, label_attributes=None):
         mode = self.overlap_mode
@@ -256,7 +265,7 @@ class PatchPredict(Predictor):
             # it to all-zero ids, so fall back to the full-probability fetch
             n_ch = self._out_channels_for(
                 model, int(subjects[0]["X"].data.shape[0]), patch_size)
-            if n_ch <= 1:
+            if n_ch is None or n_ch <= 1:
                 use_argmax = False
 
         out_subjects = []

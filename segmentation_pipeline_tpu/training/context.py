@@ -319,8 +319,23 @@ class Context:
             if state_dicts:
                 with ocp.PyTreeCheckpointer() as ckptr:
                     ckptr.save(arrays_dir, state_dicts, force=True)
-        with open(filename, "wb") as f:
-            pickle.dump(checkpoint, f)
+        # Durability: write to a temp file in the same directory and
+        # os.replace over the target, so a crash or concurrent reader never
+        # observes a truncated checkpoint (checkpoint-at-exit under SLURM
+        # preemption depends on this; ref segmentation_trainer.py:279-280).
+        tmp = str(filename) + ".tmp"
+        try:
+            with open(tmp, "wb") as f:
+                pickle.dump(checkpoint, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, filename)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     @staticmethod
     def _load_orbax_arrays(checkpoint: dict, filename):

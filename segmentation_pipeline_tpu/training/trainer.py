@@ -234,9 +234,11 @@ class SegmentationTrainer:
         # (expanded back on device — bit-identical) and, under bf16 mixed
         # precision, X ships as bf16 (the same rounding the device cast
         # would apply). Cuts per-iteration H2D bytes ~3-10x; decisive on
-        # bandwidth-limited host links. Verified against the first batch and
-        # disabled automatically when labels are not exactly one-hot.
-        compact_state = {"checked": False, "y_ids": False, "n_classes": 0}
+        # bandwidth-limited host links. Re-verified on EVERY batch (the
+        # check is O(batch) host work, negligible next to the step) so
+        # mixed datasets / soft labels are never silently argmaxed into
+        # corrupted uint8 targets — a non-one-hot batch ships full float.
+        compact_state = {"n_classes": 0}
         x_np_dtype = None
         if self.compute_dtype is not None:
             import jax.numpy as jnp
@@ -246,14 +248,11 @@ class SegmentationTrainer:
                 x_np_dtype = dt
 
         def _maybe_compact_y(y_cf):
-            if not compact_state["checked"]:
-                compact_state["checked"] = True
-                is_onehot = (y_cf.shape[1] > 1 and y_cf.shape[1] <= 255
-                             and np.all((y_cf == 0) | (y_cf == 1))
-                             and np.all(y_cf.sum(axis=1) == 1))
-                compact_state["y_ids"] = bool(is_onehot)
+            is_onehot = (y_cf.shape[1] > 1 and y_cf.shape[1] <= 255
+                         and np.all((y_cf == 0) | (y_cf == 1))
+                         and np.all(y_cf.sum(axis=1) == 1))
+            if is_onehot:
                 compact_state["n_classes"] = int(y_cf.shape[1])
-            if compact_state["y_ids"]:
                 return np.argmax(y_cf, axis=1).astype(np.uint8)
             return y_cf
 
@@ -291,166 +290,172 @@ class SegmentationTrainer:
 
         pending = None  # (subjects, device_batch) prefetched last iteration
 
-        for _ in range(max_iterations):
-            timer.start()
+        try:
+            for _ in range(max_iterations):
+                timer.start()
 
-            if pending is None:
-                subjects, batch = fetch_and_upload()
-            else:
-                subjects, batch = pending
-            timer.stamp("data_loading")
-
-            if train_step is None:
-                model.ensure_initialized(np.moveaxis(np.asarray(batch["X"]), -1, 1))
-                opt_state = optimizer.init(model.params)
-                restored = getattr(self, "_restored_opt_state", None)
-                if restored is not None:
-                    import jax.numpy as jnp
-
-                    opt_state = jax.tree_util.tree_map(jnp.asarray, restored)
-                    self._restored_opt_state = None
-                self._train_state = TrainState(
-                    step=np.int32(self.iteration), params=model.params,
-                    batch_stats=model.batch_stats, opt_state=opt_state)
-                if self.spatial_axis is not None:
-                    train_step = make_spatial_train_step(
-                        model.module, criterion, optimizer, self.mesh,
-                        spatial_axis=self.spatial_axis,
-                        data_axis=self._spatial_data_axis(),
-                        compute_dtype=self.compute_dtype)
+                if pending is None:
+                    subjects, batch = fetch_and_upload()
                 else:
-                    train_step = make_train_step(model.module, criterion,
-                                                 optimizer, mesh=self.mesh,
-                                                 sagittal_split=sagittal_split,
-                                                 compute_dtype=self.compute_dtype,
-                                                 refine_image=refine_image)
+                    subjects, batch = pending
+                timer.stamp("data_loading")
 
-            if self.device_augmentation is not None:
-                from ..ops.augment import augment_batch
+                if train_step is None:
+                    model.ensure_initialized(np.moveaxis(np.asarray(batch["X"]), -1, 1))
+                    opt_state = optimizer.init(model.params)
+                    restored = getattr(self, "_restored_opt_state", None)
+                    if restored is not None:
+                        import jax.numpy as jnp
 
-                rng, aug_rng = jax.random.split(rng)
-                batch["X"], batch["y"] = augment_batch(
-                    aug_rng, batch["X"], batch["y"],
-                    config=self.device_augmentation)
-            rng, step_rng = jax.random.split(rng)
-            self._train_state, loss_dict, y_pred_cl = train_step(
-                self._train_state, batch, step_rng)
-            model.update_variables(self._train_state.params,
-                                   self._train_state.batch_stats)
+                        opt_state = jax.tree_util.tree_map(jnp.asarray, restored)
+                        self._restored_opt_state = None
+                    self._train_state = TrainState(
+                        step=np.int32(self.iteration), params=model.params,
+                        batch_stats=model.batch_stats, opt_state=opt_state)
+                    if self.spatial_axis is not None:
+                        train_step = make_spatial_train_step(
+                            model.module, criterion, optimizer, self.mesh,
+                            spatial_axis=self.spatial_axis,
+                            data_axis=self._spatial_data_axis(),
+                            compute_dtype=self.compute_dtype)
+                    else:
+                        train_step = make_train_step(model.module, criterion,
+                                                     optimizer, mesh=self.mesh,
+                                                     sagittal_split=sagittal_split,
+                                                     compute_dtype=self.compute_dtype,
+                                                     refine_image=refine_image)
 
-            # software pipeline: while the dispatched step runs on device,
-            # load + upload the NEXT batch, then block on this step's metrics
-            try:
-                pending = fetch_and_upload()
-            except StopIteration:  # infinite iterator in practice
-                pending = None
-            timer.stamp("next_batch_prefetch")
-
-            # one stacked fetch: per-scalar float() costs one blocking host
-            # round trip each, which adds up on high-latency links
-            import jax.numpy as jnp
-
-            loss_keys = list(loss_dict)
-            loss_vals = np.asarray(jnp.stack([loss_dict[k] for k in loss_keys]))
-            loss_dict = {k: float(v) for k, v in zip(loss_keys, loss_vals)}
-            timer.stamp("train_step", sync_on=y_pred_cl)
-
-            # Scheduled training evaluators see the train-mode predictions
-            training_evaluations = {}
-            scheduled_train = [s for s in self.training_evaluators
-                               if self.iteration % s.interval == 0]
-            if scheduled_train:
-                y_pred_cf = np.asarray(to_channels_first(y_pred_cl))
                 if self.device_augmentation is not None:
-                    # the prediction lives in the augmented geometry: write
-                    # the augmented target back so the evaluator compares
-                    # aligned volumes (the reference augments in the host
-                    # pipeline, so its subject['y'] is augmented too)
-                    y_aug_cf = np.asarray(to_channels_first(batch["y"]))
-                for i, subject in enumerate(subjects):
-                    if self.device_augmentation is not None and "y" in subject:
-                        subject["y"].set_data(
-                            y_aug_cf[i].astype(np.asarray(subject["y"].data).dtype))
-                    _attach_prediction(subject, y_pred_cf[i], label_attributes)
-                add_evaluation_labels(subjects)
-            for scheduled in scheduled_train:
-                training_evaluations[scheduled.log_name] = scheduled.evaluator(subjects)
-                timer.stamp(f"evaluation.{scheduled.log_name}")
+                    from ..ops.augment import augment_batch
 
-            # Scheduled validation sweep
-            validation_evaluations = {}
-            scheduled_validation = [s for s in self.validation_evaluators
-                                    if self.iteration % s.interval == 0]
-            if scheduled_validation:
-                validation_filter = self.get_filter_from_scheduled_evaluations(
-                    context.dataset, scheduled_validation)
-                validation_dataset.set_cohort(validation_filter)
-                validation_dataloader = self.validation_dataloader_factory.get_data_loader(
-                    dataset=validation_dataset, batch_size=validation_batch_size,
-                    num_workers=num_workers)
-                validation_subjects = []
-                for val_subjects in validation_dataloader:
-                    val_subjects, _ = self.validation_predictor.predict(
-                        model, val_subjects, label_attributes=label_attributes)
-                    add_evaluation_labels(val_subjects)
-                    validation_subjects += val_subjects
-                validation_subjects_map = {s["name"]: s for s in validation_subjects}
-                timer.stamp("model_forward_evaluation")
+                    rng, aug_rng = jax.random.split(rng)
+                    batch["X"], batch["y"] = augment_batch(
+                        aug_rng, batch["X"], batch["y"],
+                        config=self.device_augmentation)
+                rng, step_rng = jax.random.split(rng)
+                self._train_state, loss_dict, y_pred_cl = train_step(
+                    self._train_state, batch, step_rng)
+                model.update_variables(self._train_state.params,
+                                       self._train_state.batch_stats)
 
-                for scheduled in scheduled_validation:
-                    if scheduled.cohorts is not None:
-                        cohort_evaluations = {}
-                        validation_evaluations[scheduled.log_name] = cohort_evaluations
-                        for cohort_name in scheduled.cohorts:
-                            subject_filter = validation_dataset.cohorts[cohort_name]
-                            filtered = subject_filter(validation_subjects)
-                            if not filtered:  # empty cohort: nothing to evaluate
-                                continue
-                            cohort_evaluations[cohort_name] = scheduled.evaluator(filtered)
-                            timer.stamp(f"evaluation.{scheduled.log_name}.{cohort_name}")
-                    elif scheduled.subjects is not None:
-                        filtered = [validation_subjects_map[name]
-                                    for name in scheduled.subjects]
-                        validation_evaluations[scheduled.log_name] = \
-                            scheduled.evaluator(filtered)
-                        timer.stamp(f"evaluation.{scheduled.log_name}")
+                # software pipeline: while the dispatched step runs on device,
+                # load + upload the NEXT batch, then block on this step's metrics
+                try:
+                    pending = fetch_and_upload()
+                except StopIteration:  # infinite iterator in practice
+                    pending = None
+                timer.stamp("next_batch_prefetch")
 
-            log_dict = {**loss_dict, **training_evaluations, **validation_evaluations}
+                # one stacked fetch: per-scalar float() costs one blocking host
+                # round trip each, which adds up on high-latency links
+                import jax.numpy as jnp
 
-            if self.iteration % self.save_rate == 0:
-                logger.save_context(context, "checkpoints/", self.iteration)
-                timer.stamp("save_checkpoint")
+                loss_keys = list(loss_dict)
+                loss_vals = np.asarray(jnp.stack([loss_dict[k] for k in loss_keys]))
+                loss_dict = {k: float(v) for k, v in zip(loss_keys, loss_vals)}
+                timer.stamp("train_step", sync_on=y_pred_cl)
 
-            if self.iteration % self.scoring_interval == 0:
-                new_score = float(self.scoring_function(log_dict))
-                log_dict["model_score"] = new_score
-                if new_score > self.max_score:
-                    self.max_score = new_score
-                    self.max_score_iteration = self.iteration
-                    logger.save_context(context, "best_checkpoints/", self.iteration)
-                    timer.stamp("save_best_checkpoint")
+                # Scheduled training evaluators see the train-mode predictions
+                training_evaluations = {}
+                scheduled_train = [s for s in self.training_evaluators
+                                   if self.iteration % s.interval == 0]
+                if scheduled_train:
+                    y_pred_cf = np.asarray(to_channels_first(y_pred_cl))
+                    if self.device_augmentation is not None:
+                        # the prediction lives in the augmented geometry: write
+                        # the augmented target back so the evaluator compares
+                        # aligned volumes (the reference augments in the host
+                        # pipeline, so its subject['y'] is augmented too)
+                        y_aug_cf = np.asarray(to_channels_first(batch["y"]))
+                    for i, subject in enumerate(subjects):
+                        if self.device_augmentation is not None and "y" in subject:
+                            subject["y"].set_data(
+                                y_aug_cf[i].astype(np.asarray(subject["y"].data).dtype))
+                        _attach_prediction(subject, y_pred_cf[i], label_attributes)
+                    add_evaluation_labels(subjects)
+                for scheduled in scheduled_train:
+                    training_evaluations[scheduled.log_name] = scheduled.evaluator(subjects)
+                    timer.stamp(f"evaluation.{scheduled.log_name}")
 
-            log_dict["timer"] = dict(timer.timestamps)
-            log_dict["iteration"] = self.iteration
-            logger.log(log_dict)
+                # Scheduled validation sweep
+                validation_evaluations = {}
+                scheduled_validation = [s for s in self.validation_evaluators
+                                        if self.iteration % s.interval == 0]
+                if scheduled_validation:
+                    validation_filter = self.get_filter_from_scheduled_evaluations(
+                        context.dataset, scheduled_validation)
+                    validation_dataset.set_cohort(validation_filter)
+                    validation_dataloader = self.validation_dataloader_factory.get_data_loader(
+                        dataset=validation_dataset, batch_size=validation_batch_size,
+                        num_workers=num_workers)
+                    validation_subjects = []
+                    for val_subjects in validation_dataloader:
+                        val_subjects, _ = self.validation_predictor.predict(
+                            model, val_subjects, label_attributes=label_attributes)
+                        add_evaluation_labels(val_subjects)
+                        validation_subjects += val_subjects
+                    validation_subjects_map = {s["name"]: s for s in validation_subjects}
+                    timer.stamp("model_forward_evaluation")
 
-            iterations_with_no_improvement = self.iteration - self.max_score_iteration
-            if iterations_with_no_improvement > self.max_iterations_with_no_improvement:
-                print(f"Training stopped on iteration {self.iteration} due to not "
-                      f"improving for {iterations_with_no_improvement} iterations.")
-                break
+                    for scheduled in scheduled_validation:
+                        if scheduled.cohorts is not None:
+                            cohort_evaluations = {}
+                            validation_evaluations[scheduled.log_name] = cohort_evaluations
+                            for cohort_name in scheduled.cohorts:
+                                subject_filter = validation_dataset.cohorts[cohort_name]
+                                filtered = subject_filter(validation_subjects)
+                                if not filtered:  # empty cohort: nothing to evaluate
+                                    continue
+                                cohort_evaluations[cohort_name] = scheduled.evaluator(filtered)
+                                timer.stamp(f"evaluation.{scheduled.log_name}.{cohort_name}")
+                        elif scheduled.subjects is not None:
+                            filtered = [validation_subjects_map[name]
+                                        for name in scheduled.subjects]
+                            validation_evaluations[scheduled.log_name] = \
+                                scheduled.evaluator(filtered)
+                            timer.stamp(f"evaluation.{scheduled.log_name}")
 
-            if EXIT.is_set() or time.time() > stop_time:
-                if EXIT.is_set():
-                    print("Training stopped early due to manual exit signal.")
-                else:
-                    print("Training time expired.")
-                break
+                log_dict = {**loss_dict, **training_evaluations, **validation_evaluations}
 
-            self.iteration += 1
+                if self.iteration % self.save_rate == 0:
+                    logger.save_context(context, "checkpoints/", self.iteration)
+                    timer.stamp("save_checkpoint")
 
-        print("Saving context...")
-        logger.save_context(context, "checkpoints/", self.iteration)
+                if self.iteration % self.scoring_interval == 0:
+                    new_score = float(self.scoring_function(log_dict))
+                    log_dict["model_score"] = new_score
+                    if new_score > self.max_score:
+                        self.max_score = new_score
+                        self.max_score_iteration = self.iteration
+                        logger.save_context(context, "best_checkpoints/", self.iteration)
+                        timer.stamp("save_best_checkpoint")
+
+                log_dict["timer"] = dict(timer.timestamps)
+                log_dict["iteration"] = self.iteration
+                logger.log(log_dict)
+
+                iterations_with_no_improvement = self.iteration - self.max_score_iteration
+                if iterations_with_no_improvement > self.max_iterations_with_no_improvement:
+                    print(f"Training stopped on iteration {self.iteration} due to not "
+                          f"improving for {iterations_with_no_improvement} iterations.")
+                    break
+
+                if EXIT.is_set() or time.time() > stop_time:
+                    if EXIT.is_set():
+                        print("Training stopped early due to manual exit signal.")
+                    else:
+                        print("Training time expired.")
+                    break
+
+                self.iteration += 1
+
+            print("Saving context...")
+            logger.save_context(context, "checkpoints/", self.iteration)
+        finally:
+            # drain pending async checkpoint writes before returning — the
+            # exit checkpoint must be durable the moment train() returns
+            # (SLURM preemption semantics, ref segmentation_trainer.py:279-280)
+            logger.close()
 
     def get_filter_from_scheduled_evaluations(self, dataset, scheduled_evaluations):
         from ..data.subject_filters import AnyFilter, RequireAttributes

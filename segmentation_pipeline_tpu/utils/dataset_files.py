@@ -7,6 +7,7 @@ in place.
 """
 from __future__ import annotations
 
+import posixpath
 import shutil
 import tarfile
 from pathlib import Path
@@ -32,8 +33,18 @@ def prepare_dataset_files(dataset_path, work_path=None) -> Path:
         # flat-rooted tar — would otherwise return a path that never exists
         # and re-extract on every run)
         with tarfile.open(dataset_path) as tar:
-            roots = {n.split("/", 1)[0] for n in tar.getnames()
-                     if n and not n.startswith((".", "/"))}
+            roots = set()
+            for n in tar.getnames():
+                # normalize first: GNU tar's `tar -C dir .` produces
+                # './'-rooted member names that must resolve to their real
+                # top-level entry, not be dropped as hidden
+                n = posixpath.normpath(n)
+                if n in (".", "") or n.startswith(("../", "/")) or n == "..":
+                    continue
+                root = n.split("/", 1)[0]
+                if root.startswith("."):  # top-level hidden junk (._*, .DS_Store)
+                    continue
+                roots.add(root)
         if len(roots) == 1:
             target = work_path / next(iter(roots))
             extract_to = work_path
@@ -49,7 +60,9 @@ def prepare_dataset_files(dataset_path, work_path=None) -> Path:
         if not target.exists():
             extract_to.mkdir(parents=True, exist_ok=True)
             with tarfile.open(dataset_path) as tar:
-                tar.extractall(extract_to)
+                # 'data' filter: refuse absolute/parent-traversal members
+                # (also silences the Python 3.14 default-change warning)
+                tar.extractall(extract_to, filter="data")
         return target
 
     raise ValueError(f"Dataset path {dataset_path} is neither a directory nor a tar archive")

@@ -220,7 +220,7 @@ class TestSpatialShardedGradients:
         import jax
         import jax.numpy as jnp
         from jax import lax
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         from segmentation_pipeline_tpu.models import NestedResUNet
