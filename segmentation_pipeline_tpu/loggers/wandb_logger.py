@@ -1,11 +1,14 @@
 """Weights & Biases logger (parity surface of ref loggers/wandb_logger.py:35).
 
-Gated on wandb availability (not installed in this image): import fails at
-construction with a clear message; the FileLogger covers the same duties
-offline.  Keeps the reference's behaviors: run-id stored in context metadata
-for resume (:63-76), retry loop on init (:88-94), type-dispatching payload
-conversion (:20-32), metric min/max/mean summaries (:96-98), source snapshot
-upload (:101-103), checkpoint upload on save_context (:107-120).
+Gated on wandb availability (not installed in this image); the FileLogger
+covers the same duties offline.  Keeps the reference's behaviors: run id
+generated up front and stored in context metadata for resume
+(ref :63-76), readable run naming (:67-68), retry loop on init (:88-94),
+per-metric min/max/mean summaries (:96-98), source-file snapshot upload on
+the first run only (:100-103), checkpoint write + upload on save_context
+(:107-120), and type-dispatching payload conversion (:20-32).  Uploads use
+``policy='now'`` with symlinking disabled — the reference reimplements
+wandb.save as a copy for the same reason (:122-216).
 """
 from __future__ import annotations
 
@@ -15,6 +18,15 @@ from pathlib import Path
 
 from ..evaluators.labeled_tensor import LabeledTensor
 from .logger import Logger
+
+# readable run-name suffix words (the reference draws two random words from
+# the random-words package, ref :67-68; a built-in list avoids the dep)
+_NAME_WORDS = (
+    "amber", "birch", "cedar", "delta", "ember", "fjord", "grove", "heron",
+    "indigo", "juniper", "krill", "lumen", "maple", "nimbus", "onyx", "pico",
+    "quartz", "raven", "sable", "tundra", "umber", "vapor", "willow", "xenon",
+    "yarrow", "zephyr",
+)
 
 
 def to_wandb(value):
@@ -43,7 +55,8 @@ def to_wandb(value):
 
 class WandbLogger(Logger):
     def __init__(self, project_name: str, entity: str = None, group: str = None,
-                 logs_dir: str = "./logs", init_retries: int = 5):
+                 logs_dir: str = "./logs", init_retries: int = 5,
+                 retry_delay: float = 5.0):
         try:
             import wandb  # noqa: F401
         except ImportError as e:
@@ -55,18 +68,49 @@ class WandbLogger(Logger):
         self.group = group
         self.logs_dir = logs_dir
         self.init_retries = init_retries
+        self.retry_delay = retry_delay
         self.run = None
         self.context = None
+        self.save_folder = None
 
     def setup(self, context):
+        import random
+
         import wandb
 
         self.context = context
-        resume_id = context.metadata.get("wandb_run_id")
-        kwargs = dict(project=self.project_name, entity=self.entity, group=self.group,
-                      dir=self.logs_dir, config=context.get_config())
-        if resume_id:
-            kwargs.update(id=resume_id, resume="must")
+        kwargs = dict(project=self.project_name, dir=None)
+        if self.entity:
+            kwargs["entity"] = self.entity
+        if self.group:
+            kwargs["group"] = self.group
+        try:  # the reference always disables symlinks (Windows/colab issues)
+            kwargs["settings"] = wandb.Settings(symlink=False)
+        except Exception:
+            pass
+
+        resuming = "wandb_run_id" in context.metadata
+        if not resuming:
+            # id generated up front and folded into the context metadata so
+            # the checkpoint itself carries the resume handle (ref :63-76)
+            run_id = context.metadata["wandb_run_id"] = wandb.util.generate_id()
+            rng = random.Random(run_id)
+            words = "-".join(rng.sample(_NAME_WORDS, 2))
+            context.name = f"{context.name}-{words}-{run_id}"
+            kwargs["id"] = run_id
+            kwargs["name"] = context.name
+            kwargs["config"] = context.get_config()
+        else:
+            kwargs["id"] = context.metadata["wandb_run_id"]
+            kwargs["resume"] = "allow"
+
+        parts = [self.logs_dir, self.project_name]
+        if self.group:
+            parts.append(self.group)
+        parts.append(context.name)
+        self.save_folder = os.path.join(*parts)
+        os.makedirs(self.save_folder, exist_ok=True)
+        kwargs["dir"] = self.save_folder
 
         last_error = None
         for _ in range(self.init_retries):
@@ -75,19 +119,25 @@ class WandbLogger(Logger):
                 break
             except Exception as e:  # transient init failures: retry (ref :88-94)
                 last_error = e
-                time.sleep(5)
+                print(f"wandb.init failed due to {e}\nRetrying...")
+                time.sleep(self.retry_delay)
         if self.run is None:
             raise RuntimeError(f"wandb.init failed after retries: {last_error}")
 
-        context.metadata["wandb_run_id"] = self.run.id
-        for path in context.file_paths:
-            if path and os.path.exists(path):
-                wandb.save(path, policy="now")
+        # every logged metric also tracks min/max/mean summaries (ref :96-98)
+        wandb.define_metric("*", summary="max")
+        wandb.define_metric("*", summary="min")
+        wandb.define_metric("*", summary="mean")
+
+        if not resuming:  # source snapshot on the first run only (ref :100-103)
+            for path in context.file_paths:
+                if path and os.path.exists(path):
+                    wandb.save(str(path), policy="now")
 
     def save_context(self, context, folder: str, iteration: int):
         import wandb
 
-        out_dir = Path(self.run.dir) / folder
+        out_dir = Path(self.save_folder) / folder
         out_dir.mkdir(parents=True, exist_ok=True)
         path = out_dir / f"{context.name}-iter{iteration:08}.ckpt"
         context.save(path)
@@ -98,3 +148,12 @@ class WandbLogger(Logger):
         import wandb
 
         wandb.log(to_wandb(log_dict))
+
+    def close(self):
+        import wandb
+
+        if self.run is not None:
+            try:
+                wandb.finish()
+            finally:
+                self.run = None
