@@ -1,0 +1,179 @@
+"""Sustained trainer-loop throughput at the dmri_hippo config.
+
+Measures the REAL hot loop (ref segmentation_trainer.py:162-277): host
+pipeline (deepcopy + transform + collate), compact H2D transfer, fused
+train step, device augmentation, per-iteration metric fetch + JSONL
+logging — everything except the interval-gated validation sweep, whose
+cadence is config-dependent (set EVAL_INTERVAL to include it).
+
+Prints one JSON line with volumes/sec plus the mean per-phase wall profile
+(ms/iter) over the post-warmup iterations, so regressions are attributable.
+
+Env knobs: ITERS (default 60), WARMUP (10), BATCH (4), COMPUTE_DTYPE
+(e.g. bfloat16), EVAL_INTERVAL (0 = never), DEVICE_AUG (1 = on).
+"""
+import json
+import os
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+class _TimedLogger:
+    """NonLogger with wall stamps + timer capture per iteration."""
+
+    def __init__(self):
+        self.wall = []
+        self.timers = []
+
+    def setup(self, context):
+        pass
+
+    def save_context(self, context, folder, iteration):
+        pass
+
+    def log(self, log_dict):
+        self.wall.append(time.time())
+        self.timers.append(dict(log_dict.get("timer", {})))
+
+    def close(self):
+        pass
+
+
+def build(root: Path):
+    import segmentation_pipeline_tpu as sp
+
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        d = root / "subjects" / f"sub-{i:02d}"
+        d.mkdir(parents=True)
+        shape = (96, 88, 24)
+        img = rng.normal(scale=0.3, size=(1, *shape)).astype(np.float32)
+        seg = np.zeros((1, *shape), np.int16)
+        seg[:, 30:66, 30:60, 8:18] = 1
+        img[seg.astype(bool)] += 2.0
+        sp.write_nifti(d / "mean_dwi.nii.gz", img, np.eye(4))
+        sp.write_nifti(d / "md.nii.gz", img * 0.5, np.eye(4))
+        sp.write_nifti(d / "fa.nii.gz", img * 0.25, np.eye(4))
+        sp.write_nifti(d / "whole_roi.nii.gz", seg, np.eye(4))
+        with open(d / "attributes.json", "w") as f:
+            json.dump({"fold": i % 4}, f)
+
+    loader = sp.ComposeLoaders([
+        sp.ImageLoader(glob_pattern="mean_dwi.*", image_name="mean_dwi",
+                       image_constructor=sp.ScalarImage),
+        sp.ImageLoader(glob_pattern="md.*", image_name="md",
+                       image_constructor=sp.ScalarImage),
+        sp.ImageLoader(glob_pattern="fa.*", image_name="fa",
+                       image_constructor=sp.ScalarImage),
+        sp.ImageLoader(glob_pattern="whole_roi.*", image_name="whole_roi",
+                       image_constructor=sp.LabelMap,
+                       label_values={"hippo": 1}),
+        sp.AttributeLoader(glob_pattern="attributes.*"),
+    ])
+    cohorts = {
+        "training": sp.ForbidAttributes({"fold": 0}),
+        "validation": sp.RequireAttributes({"fold": 0}),
+    }
+    # mirrors research/dmri_hippo/configs/main_config.py preprocessing
+    transforms = {"default": sp.Compose([
+        sp.RescaleIntensity((-1, 1), (0.5, 99.5)),
+        sp.ConcatenateImages(image_names=["mean_dwi", "md", "fa"],
+                             image_channels=[1, 1, 1], new_image_name="X"),
+        sp.RenameProperty(old_name="whole_roi", new_name="y"),
+        sp.CustomOneHot(include=["y"]),
+    ])}
+
+    eval_interval = int(os.environ.get("EVAL_INTERVAL", "0"))
+    validation_evaluators = []
+    if eval_interval:
+        validation_evaluators = [sp.ScheduledEvaluation(
+            evaluator=sp.SegmentationEvaluator("y_pred_eval", "y_eval"),
+            log_name="segmentation_eval", cohorts=["validation"],
+            interval=eval_interval)]
+
+    context = sp.Context(name="bench-sustained",
+                         variables={"DATASET_PATH": str(root)})
+    context.add_component("dataset", sp.SubjectFolder, root="$DATASET_PATH",
+                          subject_path="subjects", subject_loader=loader,
+                          cohorts=cohorts, transforms=transforms)
+    context.add_component("model", sp.NestedResUNet, input_channels=3,
+                          output_channels=2, filters=40, dropout_p=0.2)
+    context.add_component("optimizer", sp.Adam, lr=2e-4)
+    context.add_component("criterion", sp.HybridLogisticDiceLoss)
+    context.add_component(
+        "trainer", sp.SegmentationTrainer,
+        training_batch_size=int(os.environ.get("BATCH", "4")),
+        save_rate=10 ** 9, scoring_interval=10 ** 9,
+        scoring_function=lambda d: -d["loss"], one_time_evaluators=[],
+        training_evaluators=[], validation_evaluators=validation_evaluators,
+        max_iterations_with_no_improvement=10 ** 9,
+        train_predictor=sp.StandardPredict(image_names=["X", "y"],
+                                           sagittal_split=True),
+        validation_predictor=sp.StandardPredict(image_names=["X"]),
+        train_dataloader_factory=sp.StandardDataLoader(
+            sampler=sp.RandomSampler),
+        validation_dataloader_factory=sp.StandardDataLoader(
+            sampler=sp.SequentialSampler),
+        device_augmentation=(
+            {} if os.environ.get("DEVICE_AUG", "1") == "1" else None),
+        compute_dtype=os.environ.get("COMPUTE_DTYPE") or None,
+        device_cache=os.environ.get("DEVICE_CACHE", "0") == "1")
+    return context
+
+
+def main():
+    iters = int(os.environ.get("ITERS", "60"))
+    warmup = int(os.environ.get("WARMUP", "10"))
+    batch = int(os.environ.get("BATCH", "4"))
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench_sustained_"))
+    try:
+        context = build(tmp)
+        context.init_components()
+        logger = _TimedLogger()
+        context.trainer.train(context, max_iterations=iters, logger=logger,
+                              preload_training_data=True)
+
+        wall = np.array(logger.wall)
+        assert len(wall) == iters, len(wall)
+        span = wall[-1] - wall[warmup - 1]
+        n = iters - warmup
+        vols_per_sec = n * batch / span
+
+        phases = {}
+        for t in logger.timers[warmup:]:
+            for k, v in t.items():
+                phases[k] = phases.get(k, 0.0) + v
+        iter_ms = span / n * 1000
+        profile = {k: round(v / n * 1000, 1) for k, v in
+                   sorted(phases.items(), key=lambda kv: -kv[1])}
+        profile["untimed_residual"] = round(
+            iter_ms - sum(profile.values()), 1)
+
+        print(json.dumps({
+            "metric": "dmri_hippo SUSTAINED trainer loop (host pipeline + "
+                      "compact transfer + device aug + sagittal split + "
+                      "per-iter logging)",
+            "value": round(vols_per_sec, 2),
+            "unit": "volumes/sec",
+            "iter_ms": round(iter_ms, 1),
+            "profile_ms": profile,
+            "config": {"iters": iters, "warmup": warmup, "batch": batch,
+                       "compute_dtype": os.environ.get("COMPUTE_DTYPE"),
+                       "device_aug": os.environ.get("DEVICE_AUG", "1"),
+                       "device_cache": os.environ.get("DEVICE_CACHE", "0"),
+                       "eval_interval": os.environ.get("EVAL_INTERVAL", "0")},
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    main()

@@ -39,6 +39,7 @@ from .data import (
     get_dataset_fingerprint,
 )
 from .criterions import HybridLogisticDiceLoss
+from .data.device_cache import DeviceDataCache
 from .data.loader import (
     DataLoaderFactory,
     LabelSampler,

@@ -77,7 +77,8 @@ class SegmentationTrainer:
                  validation_dataloader_factory: DataLoaderFactory,
                  mesh=None, device_augmentation: Optional[dict] = None,
                  spatial_axis: Optional[str] = None,
-                 compute_dtype: Optional[str] = None):
+                 compute_dtype: Optional[str] = None,
+                 device_cache: bool = False):
         self.training_batch_size = training_batch_size
         self.save_rate = save_rate
         self.scoring_interval = scoring_interval
@@ -109,6 +110,12 @@ class SegmentationTrainer:
         # state, BN statistics, and the loss stay float32 (train_step.py).
         # A string keeps the trainer definition picklable in checkpoints.
         self.compute_dtype = compute_dtype
+        # device-resident dataset cache: with a deterministic host pipeline
+        # the training set uploads ONCE and batches become on-device index
+        # gathers — steady-state H2D traffic is a few int32 indices (see
+        # data/device_cache.py). Forces pretransform; pair with
+        # device_augmentation so augs still vary per step.
+        self.device_cache = device_cache
 
         self.iteration = 0
         self.max_score = float("-inf")
@@ -196,15 +203,17 @@ class SegmentationTrainer:
             validation_dataset.preload_and_transform_subjects()
             print(f"Done. Took {round(time.time() - t, 2)}s")
 
-        training_dataloader = self.train_dataloader_factory.get_data_loader(
-            dataset=training_dataset, batch_size=self.training_batch_size,
-            num_workers=num_workers)
+        training_iterator = None
+        if not self.device_cache:
+            training_dataloader = self.train_dataloader_factory.get_data_loader(
+                dataset=training_dataset, batch_size=self.training_batch_size,
+                num_workers=num_workers)
 
-        def infinite(loader):
-            while True:
-                yield from loader
+            def infinite(loader):
+                while True:
+                    yield from loader
 
-        training_iterator = infinite(training_dataloader)
+            training_iterator = infinite(training_dataloader)
 
         # label attributes for wrapping raw predictions as LabelMaps
         # (ref :153-158)
@@ -265,10 +274,62 @@ class SegmentationTrainer:
                     batch["y"], compact_state["n_classes"], dtype=jnp.float32)
             return batch
 
+        # Device-resident cache: training set uploaded once, batches are
+        # on-device index gathers (data/device_cache.py); the host link
+        # leaves the steady-state loop entirely.
+        cache = None
+        index_iterator = None
+        if self.device_cache:
+            if self.spatial_axis is not None:
+                raise ValueError(
+                    "device_cache with spatial sharding is not supported")
+            if refine_image is not None:
+                raise ValueError(
+                    "device_cache with a refine_image (cascade) predictor is "
+                    "not supported — the prior is prediction-dependent")
+            from ..data.device_cache import DeviceDataCache
+            from ..data.loader import RandomSampler, StandardDataLoader
+
+            if not isinstance(self.train_dataloader_factory, StandardDataLoader):
+                raise ValueError(
+                    "device_cache currently supports StandardDataLoader "
+                    "factories (whole-volume training); patch training uses "
+                    "the host patch queue")
+            if not training_dataset._pretransformed:
+                t = time.time()
+                print("Pretransforming training data for the device cache...")
+                training_dataset.preload_and_transform_subjects()
+                print(f"Done. Took {round(time.time() - t, 2)}s")
+            cache = DeviceDataCache(training_dataset.subjects,
+                                    x_dtype=x_np_dtype, mesh=self.mesh)
+            print(f"Device cache: {cache.n_subjects} subjects, "
+                  f"{cache.nbytes / 2 ** 20:.0f} MiB in HBM")
+            sampler_cls = self.train_dataloader_factory.sampler or RandomSampler
+
+            def infinite_indices():
+                while True:
+                    order = list(iter(sampler_cls(training_dataset)))
+                    for j in range(0, len(order), self.training_batch_size):
+                        yield order[j:j + self.training_batch_size]
+
+            index_iterator = infinite_indices()
+
         def fetch_and_upload():
             """Pull the next batch from the host pipeline and start its
             async H2D transfer. Called while the device is busy with the
             current step so the upload rides under the compute."""
+            if cache is not None:
+                idx = next(index_iterator)
+
+                def subjects_thunk(_idx=tuple(idx)):
+                    # host Subject copies materialized only when a scheduled
+                    # training evaluator actually needs them
+                    import copy as _copy
+
+                    return [_copy.deepcopy(training_dataset.subjects[i])
+                            for i in _idx]
+
+                return subjects_thunk, dict(cache.gather(idx))
             subjects = next(training_iterator)
             X = np.stack([np.asarray(s["X"].data) for s in subjects]).astype(np.float32)
             y = np.stack([np.asarray(s["y"].data) for s in subjects]).astype(np.float32)
@@ -360,6 +421,8 @@ class SegmentationTrainer:
                 scheduled_train = [s for s in self.training_evaluators
                                    if self.iteration % s.interval == 0]
                 if scheduled_train:
+                    if callable(subjects):  # device-cache lazy batch subjects
+                        subjects = subjects()
                     y_pred_cf = np.asarray(to_channels_first(y_pred_cl))
                     if self.device_augmentation is not None:
                         # the prediction lives in the augmented geometry: write

@@ -1,0 +1,129 @@
+"""Device-resident dataset cache (data/device_cache.py) + trainer integration.
+
+The cache path must train identically to the per-iteration-upload path:
+same sampler order (global python RNG), same batch contents, same PRNG key
+stream -> matching losses.
+"""
+import json
+import random
+
+import numpy as np
+import pytest
+
+import segmentation_pipeline_tpu as sp
+from segmentation_pipeline_tpu.data.device_cache import DeviceDataCache
+from segmentation_pipeline_tpu.loggers.file_logger import FileLogger
+from tests.test_trainer import build_context, build_dataset
+
+
+class TestDeviceDataCache:
+    def _subjects(self, n=3, shape=(8, 6, 4), classes=2):
+        rng = np.random.default_rng(0)
+        subs = []
+        for i in range(n):
+            ids = rng.integers(0, classes, size=shape)
+            onehot = np.eye(classes, dtype=np.float32)[ids]
+            onehot = np.moveaxis(onehot, -1, 0)
+
+            class Img:
+                def __init__(self, data):
+                    self.data = data
+
+            subs.append({"X": Img(rng.normal(size=(3, *shape)).astype(np.float32)),
+                         "y": Img(onehot)})
+        return subs
+
+    def test_gather_matches_host_collate(self):
+        subs = self._subjects()
+        cache = DeviceDataCache(subs)
+        batch = cache.gather([2, 0])
+        X = np.asarray(batch["X"])
+        y = np.asarray(batch["y"])
+        want_X = np.stack([np.moveaxis(subs[i]["X"].data, 0, -1) for i in (2, 0)])
+        want_y = np.stack([np.moveaxis(subs[i]["y"].data, 0, -1) for i in (2, 0)])
+        np.testing.assert_array_equal(X, want_X)
+        np.testing.assert_array_equal(y, want_y)  # one-hot roundtrip exact
+
+    def test_onehot_stored_as_uint8_ids(self):
+        subs = self._subjects()
+        cache = DeviceDataCache(subs)
+        assert cache._is_onehot
+        assert np.asarray(cache._y).dtype == np.uint8
+
+    def test_soft_labels_stored_full(self):
+        subs = self._subjects()
+        subs[0]["y"].data = subs[0]["y"].data * 0.7  # not one-hot
+        cache = DeviceDataCache(subs)
+        assert not cache._is_onehot
+        batch = cache.gather([0])
+        np.testing.assert_allclose(
+            np.asarray(batch["y"])[0],
+            np.moveaxis(subs[0]["y"].data, 0, -1), rtol=1e-6)
+
+    def test_bf16_storage(self):
+        import jax.numpy as jnp
+
+        cache = DeviceDataCache(self._subjects(), x_dtype=jnp.bfloat16)
+        assert cache.gather([0])["X"].dtype == jnp.bfloat16
+
+    def test_budget_guard(self):
+        with pytest.raises(ValueError, match="cache budget"):
+            DeviceDataCache(self._subjects(), max_bytes=10)
+
+    def test_ragged_shapes_clear_error(self):
+        subs = self._subjects()
+        subs[1]["X"].data = subs[1]["X"].data[:, :-1]
+        with pytest.raises(ValueError, match="uniform subject shapes"):
+            DeviceDataCache(subs)
+
+
+class TestTrainerDeviceCache:
+    def test_cache_path_matches_standard_path(self, tmp_path):
+        losses = {}
+        for mode in ("standard", "cache"):
+            root = tmp_path / f"ds-{mode}"
+            logs = tmp_path / f"logs-{mode}"
+            build_dataset(root)
+            context = build_context(root, logs)
+            if mode == "cache":
+                context.update_component("trainer", device_cache=True)
+            context.init_components()
+            random.seed(1234)  # sampler shuffle order must match
+            logger = FileLogger(str(logs))
+            context.trainer.train(context, max_iterations=6, logger=logger,
+                                  pretransform_training_data=True)
+            metrics = [json.loads(l) for l in
+                       open(logger.run_dir / "metrics.jsonl")]
+            losses[mode] = [m["loss"] for m in metrics]
+        np.testing.assert_allclose(losses["cache"], losses["standard"],
+                                   rtol=1e-5)
+
+    def test_cache_with_training_evaluators_and_device_aug(self, tmp_path):
+        root = tmp_path / "ds"
+        logs = tmp_path / "logs"
+        build_dataset(root)
+        context = build_context(root, logs)
+        context.update_component(
+            "trainer", device_cache=True,
+            device_augmentation={"affine_p": 0.5, "noise_p": 0.5})
+        context.init_components()
+        logger = FileLogger(str(logs))
+        context.trainer.train(context, max_iterations=11, logger=logger)
+        metrics = [json.loads(l) for l in open(logger.run_dir / "metrics.jsonl")]
+        assert len(metrics) == 11
+        assert all(np.isfinite(m["loss"]) for m in metrics)
+        # scheduled training evaluator ran on materialized cached subjects
+        assert any("training_segmentation_eval" in m for m in metrics)
+
+    def test_cache_rejects_patch_factory(self, tmp_path):
+        root = tmp_path / "ds"
+        build_dataset(root)
+        context = build_context(root, tmp_path / "logs")
+        context.update_component(
+            "trainer", device_cache=True,
+            train_dataloader_factory=sp.PatchDataLoader(
+                max_length=8, samples_per_volume=1,
+                sampler=sp.UniformSampler((8, 8, 4))))
+        context.init_components()
+        with pytest.raises(ValueError, match="StandardDataLoader"):
+            context.trainer.train(context, max_iterations=1)
