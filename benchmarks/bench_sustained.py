@@ -125,14 +125,102 @@ def build(root: Path):
     return context
 
 
+def build_msseg2(root: Path):
+    """Patch-training workload: weighted 96^3 patches into the depth-6
+    BlurConv ModularUNet (ref msseg2.py:84-93,148-153)."""
+    import segmentation_pipeline_tpu as sp
+
+    rng = np.random.default_rng(0)
+    shape = tuple(int(x) for x in
+                  os.environ.get("VOLUME_SHAPE", "160,192,160").split(","))
+    for i in range(4):
+        d = root / "subjects" / f"sub-{i:02d}"
+        d.mkdir(parents=True)
+        flair1 = rng.normal(scale=0.3, size=(1, *shape)).astype(np.float32)
+        lesions = np.zeros((1, *shape), np.int16)
+        for _ in range(12):
+            c = [rng.integers(10, s - 10) for s in shape]
+            lesions[0, c[0] - 3:c[0] + 3, c[1] - 3:c[1] + 3,
+                    c[2] - 3:c[2] + 3] = 1
+        flair2 = flair1 + lesions * 1.5
+        sp.write_nifti(d / "flair_time01.nii.gz", flair1, np.eye(4))
+        sp.write_nifti(d / "flair_time02.nii.gz", flair2, np.eye(4))
+        sp.write_nifti(d / "ground_truth.nii.gz", lesions, np.eye(4))
+        with open(d / "attributes.json", "w") as f:
+            json.dump({"fold": i % 4}, f)
+
+    loader = sp.ComposeLoaders([
+        sp.ImageLoader(glob_pattern="flair_time01.*", image_name="t1",
+                       image_constructor=sp.ScalarImage),
+        sp.ImageLoader(glob_pattern="flair_time02.*", image_name="t2",
+                       image_constructor=sp.ScalarImage),
+        sp.ImageLoader(glob_pattern="ground_truth.*", image_name="gt",
+                       image_constructor=sp.LabelMap,
+                       label_values={"lesion": 1}),
+        sp.AttributeLoader(glob_pattern="attributes.*"),
+    ])
+    cohorts = {"training": sp.RequireAttributes(["t1"]),
+               "validation": sp.RequireAttributes({"fold": 0})}
+    transforms = {"default": sp.Compose([
+        sp.RescaleIntensity((-1, 1), (0.5, 99.5)),
+        sp.ConcatenateImages(image_names=["t1", "t2"], image_channels=[1, 1],
+                             new_image_name="X"),
+        sp.RenameProperty(old_name="gt", new_name="y"),
+        sp.ImageFromLabels(new_image_name="patch_probability",
+                           label_weights=[("y", "lesion", 100)]),
+        sp.CustomOneHot(include=["y"]),
+    ])}
+
+    context = sp.Context(name="bench-msseg2",
+                         variables={"DATASET_PATH": str(root)})
+    context.add_component("dataset", sp.SubjectFolder, root="$DATASET_PATH",
+                          subject_path="subjects", subject_loader=loader,
+                          cohorts=cohorts, transforms=transforms)
+    context.add_component(
+        "model", sp.ModularUNet, in_channels=2, out_channels=2,
+        filters=[40, 40, 80, 80, 120, 120], depth=6,
+        block_params={"residual": True},
+        downsample_class=sp.BlurConv3d,
+        downsample_params={"kernel_size": 3, "stride": 2, "padding": 1},
+        upsample_class=sp.BlurConvTranspose3d,
+        upsample_params={"kernel_size": 3, "stride": 2, "padding": 1,
+                         "output_padding": 0},
+        remat=True)
+    context.add_component("optimizer", sp.SGD, lr=1e-3, momentum=0.95)
+    context.add_component("criterion", sp.HybridLogisticDiceLoss,
+                          logistic_class_weights=[1, 100])
+    context.add_component(
+        "trainer", sp.SegmentationTrainer,
+        training_batch_size=int(os.environ.get("BATCH", "4")),
+        save_rate=10 ** 9, scoring_interval=10 ** 9,
+        scoring_function=lambda d: -d["loss"], one_time_evaluators=[],
+        training_evaluators=[], validation_evaluators=[],
+        max_iterations_with_no_improvement=10 ** 9,
+        train_predictor=sp.StandardPredict(image_names=["X", "y"]),
+        validation_predictor=sp.PatchPredict(patch_size=(96, 96, 96),
+                                             patch_overlap=12),
+        train_dataloader_factory=sp.PatchDataLoader(
+            max_length=16, samples_per_volume=1,
+            sampler=sp.WeightedSampler(patch_size=(96, 96, 96),
+                                       probability_map="patch_probability")),
+        validation_dataloader_factory=sp.StandardDataLoader(
+            sampler=sp.SequentialSampler),
+        device_augmentation=(
+            {} if os.environ.get("DEVICE_AUG", "1") == "1" else None),
+        compute_dtype=os.environ.get("COMPUTE_DTYPE") or None,
+        device_cache=os.environ.get("DEVICE_CACHE", "0") == "1")
+    return context
+
+
 def main():
-    iters = int(os.environ.get("ITERS", "60"))
-    warmup = int(os.environ.get("WARMUP", "10"))
+    workload = os.environ.get("WORKLOAD", "dmri")
+    iters = int(os.environ.get("ITERS", "60" if workload == "dmri" else "25"))
+    warmup = int(os.environ.get("WARMUP", "10" if workload == "dmri" else "5"))
     batch = int(os.environ.get("BATCH", "4"))
 
     tmp = Path(tempfile.mkdtemp(prefix="bench_sustained_"))
     try:
-        context = build(tmp)
+        context = build(tmp) if workload == "dmri" else build_msseg2(tmp)
         context.init_components()
         logger = _TimedLogger()
         context.trainer.train(context, max_iterations=iters, logger=logger,
@@ -154,12 +242,19 @@ def main():
         profile["untimed_residual"] = round(
             iter_ms - sum(profile.values()), 1)
 
+        names = {
+            "dmri": ("dmri_hippo SUSTAINED trainer loop (host pipeline + "
+                     "compact transfer + device aug + sagittal split + "
+                     "per-iter logging)", "volumes/sec"),
+            "msseg2": ("msseg2 SUSTAINED patch-training loop (weighted 96^3 "
+                       "patch sampling + device aug + per-iter logging)",
+                       "patches/sec"),
+        }
+        metric, unit = names[workload]
         print(json.dumps({
-            "metric": "dmri_hippo SUSTAINED trainer loop (host pipeline + "
-                      "compact transfer + device aug + sagittal split + "
-                      "per-iter logging)",
+            "metric": metric,
             "value": round(vols_per_sec, 2),
-            "unit": "volumes/sec",
+            "unit": unit,
             "iter_ms": round(iter_ms, 1),
             "profile_ms": profile,
             "config": {"iters": iters, "warmup": warmup, "batch": batch,

@@ -94,3 +94,177 @@ class DeviceDataCache:
         import jax.numpy as jnp
 
         return self._gather(jnp.asarray(np.asarray(indices, np.int32)))
+
+
+class DevicePatchCache:
+    """Device-side weighted patch sampling over a cached training set.
+
+    TPU-first replacement for the host patch queue's hot path (tio.Queue +
+    WeightedSampler, ref data_loader_factory.py:45-51, msseg2.py:148-149):
+    whole pretransformed volumes live in HBM alongside each subject's
+    valid-center probability CDF; every batch draws patch centers ON DEVICE
+    (inverse-CDF via searchsorted) and slices the patches there — no host
+    patch assembly, no per-patch deepcopy, no patch upload (a 4x96^3x2ch
+    batch is ~28 MB/iteration through the host link otherwise).
+
+    Semantics: subject balance follows the queue (each subject contributes
+    ``samples_per_volume`` patches per epoch, shuffled — the host feeds the
+    tiny subject-id stream); center distribution is the sampler's
+    valid-center probability map exactly (the CDF is built by the same
+    ``WeightedSampler._valid_center_probs``), drawn with jax PRNG keys
+    instead of numpy — distributional, not bitwise, parity (SURVEY §7
+    randomness parity).
+
+    Ragged volumes are zero-padded to the cohort max shape; padding has
+    zero center probability and every valid patch fits inside the true
+    extent, so padded voxels never enter a patch.
+    """
+
+    def __init__(self, subjects: Sequence, sampler, x_dtype=None, mesh=None,
+                 data_axis: str = "data", max_bytes: int = 12 * 2 ** 30):
+        import jax
+        import jax.numpy as jnp
+
+        from .loader import UniformSampler, WeightedSampler
+
+        patch_size = np.asarray(sampler.patch_size)
+        self.patch_size = tuple(int(p) for p in patch_size)
+
+        Xs = [np.asarray(s["X"].data) for s in subjects]  # (C, W, H, D)
+        ys = [np.asarray(s["y"].data) for s in subjects]
+        shapes = np.array([x.shape[1:] for x in Xs])
+        max_shape = shapes.max(axis=0)
+        if (shapes.min(axis=0) < patch_size).any():
+            raise ValueError(
+                f"Patch size {self.patch_size} exceeds the smallest subject "
+                f"shape {tuple(shapes.min(axis=0))}")
+
+        def pad_to(vol, target):
+            pad = [(0, 0)] + [(0, int(t - s)) for s, t in
+                              zip(vol.shape[1:], target)]
+            return np.pad(vol, pad)
+
+        X = np.stack([pad_to(x, max_shape) for x in Xs])
+        y = np.stack([pad_to(v, max_shape) for v in ys])
+        X = np.moveaxis(X, 1, -1).astype(np.float32)  # (S, W, H, D, C)
+        if x_dtype is not None:
+            X = X.astype(x_dtype)
+
+        n_classes = int(y.shape[1])
+        is_onehot = (1 < n_classes <= 255
+                     and bool(np.all((y == 0) | (y == 1)))
+                     and bool(np.all(y.sum(axis=1) == 1)))
+        if is_onehot:
+            y_store = np.argmax(y, axis=1).astype(np.uint8)
+        else:
+            y_store = np.moveaxis(y, 1, -1).astype(np.float32)
+
+        # per-subject valid-center CDF from the host sampler's own math
+        # (WeightedSampler._valid_center_probs masks centers whose patch
+        # would not fit and normalizes); padding stays at probability zero
+        if isinstance(sampler, WeightedSampler):
+            prob_fn = sampler._valid_center_probs
+        elif isinstance(sampler, UniformSampler):
+            def prob_fn(subject):
+                spatial = np.array(subject.spatial_shape)
+                lo = patch_size // 2
+                hi = spatial - (patch_size - patch_size // 2)
+                masked = np.zeros(tuple(spatial))
+                sl = tuple(slice(int(l), int(h) + 1) for l, h in zip(lo, hi))
+                masked[sl] = 1.0
+                return masked / masked.sum()
+        else:
+            raise ValueError(
+                f"DevicePatchCache supports Uniform/Weighted/Label samplers, "
+                f"not {type(sampler).__name__}")
+
+        cdfs = []
+        for s in subjects:
+            prob = np.zeros(tuple(max_shape), np.float64)
+            p = prob_fn(s)
+            prob[tuple(slice(0, d) for d in p.shape)] = p
+            cdf = np.cumsum(prob.ravel())
+            cdf /= cdf[-1]
+            cdfs.append(cdf.astype(np.float32))
+        cdf = np.stack(cdfs)  # (S, V)
+
+        total = X.nbytes + y_store.nbytes + cdf.nbytes
+        if total > max_bytes:
+            raise ValueError(
+                f"Training set + CDFs are {total / 2 ** 30:.1f} GiB — beyond "
+                f"the device cache budget ({max_bytes / 2 ** 30:.1f} GiB). "
+                f"Disable device_cache or raise max_bytes")
+        self.nbytes = total
+        self.n_subjects = int(X.shape[0])
+        self.n_classes = n_classes
+        self._is_onehot = is_onehot
+        self.volume_shape = tuple(int(d) for d in max_shape)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(mesh, P())
+            put = lambda a: jax.device_put(jnp.asarray(a), replicated)
+            batch_sharding = NamedSharding(mesh, P(data_axis))
+            out_shardings = ({"X": batch_sharding, "y": batch_sharding},
+                             batch_sharding)
+        else:
+            put = jnp.asarray
+            out_shardings = None
+        cache_X, cache_y, cache_cdf = put(X), put(y_store), put(cdf)
+        self._X, self._y, self._cdf = cache_X, cache_y, cache_cdf
+
+        W, H, D = self.volume_shape
+        pw, ph, pd = self.patch_size
+        half = patch_size // 2
+
+        def sample(subj_idx, key):
+            u = jax.random.uniform(key, subj_idx.shape)
+
+            def one(si, ui):
+                row = jax.lax.dynamic_index_in_dim(cache_cdf, si, axis=0,
+                                                   keepdims=False)
+                flat = jnp.searchsorted(row, ui, side="left")
+                flat = jnp.clip(flat, 0, W * H * D - 1)
+                cw, rem = jnp.divmod(flat, H * D)
+                ch, cd = jnp.divmod(rem, D)
+                start = jnp.stack([cw, ch, cd]) - jnp.asarray(half)
+                # valid-center masking already guarantees fit; clip guards
+                # the degenerate all-zero-probability fallback row
+                start = jnp.clip(start, 0, jnp.asarray([W - pw, H - ph, D - pd]))
+                xp = jax.lax.dynamic_slice(
+                    jax.lax.dynamic_index_in_dim(cache_X, si, 0, keepdims=False),
+                    (start[0], start[1], start[2], 0),
+                    (pw, ph, pd, cache_X.shape[-1]))
+                if is_onehot:
+                    yp = jax.lax.dynamic_slice(
+                        jax.lax.dynamic_index_in_dim(cache_y, si, 0,
+                                                     keepdims=False),
+                        (start[0], start[1], start[2]), (pw, ph, pd))
+                    yp = jax.nn.one_hot(yp, n_classes, dtype=jnp.float32)
+                else:
+                    yp = jax.lax.dynamic_slice(
+                        jax.lax.dynamic_index_in_dim(cache_y, si, 0,
+                                                     keepdims=False),
+                        (start[0], start[1], start[2], 0),
+                        (pw, ph, pd, cache_y.shape[-1]))
+                return xp, yp, start
+
+            xb, yb, starts = jax.vmap(one)(subj_idx, u)
+            return {"X": xb, "y": yb}, starts
+
+        if out_shardings is not None:
+            self._sample = jax.jit(sample, out_shardings=out_shardings)
+        else:
+            self._sample = jax.jit(sample)
+
+    def sample(self, subject_indices, key):
+        """subject_indices: (N,) ids; key: jax PRNG key -> (batch, starts)
+        where batch = {'X': (N, pw, ph, pd, C), 'y': one-hot f32} and
+        starts = (N, 3) device patch-start coordinates (fetch only if host
+        patch subjects are needed, e.g. for scheduled training evaluators).
+        """
+        import jax.numpy as jnp
+
+        idx = jnp.asarray(np.asarray(subject_indices, np.int32))
+        return self._sample(idx, key)

@@ -10,6 +10,7 @@ history tape stays invertible (torchio samplers do the same via tio.Crop).
 """
 from __future__ import annotations
 
+import os
 import queue as queue_mod
 import random
 from abc import ABC, abstractmethod
@@ -20,6 +21,31 @@ import numpy as np
 from ..core.subject import Subject
 from ..transforms.base import get_rng
 from ..transforms.spatial import Crop
+
+# ---------------------------------------------------------------------------
+# Multiprocess worker plumbing (the reference's num_workers use case,
+# ref data_loader_factory.py:30,50: torch DataLoader worker processes run
+# the CPU transform pipeline in parallel). Thread workers are fine when the
+# transforms are numpy-heavy (GIL released); pure-Python/scipy transform
+# pipelines need processes to scale on multicore hosts.
+# ---------------------------------------------------------------------------
+
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset, seed_base: int):
+    """Worker initializer: receives the dataset once and reseeds the
+    transform RNG per process (forked workers would otherwise spawn
+    identical SeedSequence children and produce identical augmentations)."""
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+    from ..transforms.base import seed_all
+
+    seed_all((seed_base + os.getpid()) % (2 ** 32))
+
+
+def _worker_fetch(i: int):
+    return _WORKER_DATASET[i]
 
 
 class RandomSampler:
@@ -49,24 +75,56 @@ class SequentialSampler:
 
 
 class _PrefetchIterator:
-    """Iterates dataset items in sampler order with a worker thread pool
-    prefetching ahead; preserves order."""
+    """Iterates dataset items in sampler order with a worker pool prefetching
+    ahead; preserves order.
 
-    def __init__(self, fetch_fn, order: List[int], num_workers: int, prefetch: int = 4):
-        self.fetch_fn = fetch_fn
+    ``use_processes=False`` (default): a thread pool — zero-copy handoff,
+    scales when the transforms are numpy-heavy (GIL released).
+    ``use_processes=True``: a process pool (the torch num_workers model,
+    ref data_loader_factory.py:30,50) — the dataset ships to each worker
+    once via the pool initializer and items return pickled; scales
+    pure-Python/scipy transform pipelines on multicore hosts. Workers
+    reseed the transform RNG per process. Prefer lazy (non-preloaded)
+    datasets with processes so the one-time dataset transfer stays small;
+    workers must do host work only (never touch jax device state).
+    """
+
+    def __init__(self, dataset, order: List[int], num_workers: int,
+                 prefetch: int = 4, use_processes: bool = False):
+        self.dataset = dataset
         self.order = order
         self.num_workers = num_workers
+        self.use_processes = use_processes
         self.prefetch = max(prefetch, num_workers * 2) if num_workers > 0 else 0
+
+    def _make_pool(self):
+        if not self.use_processes:
+            from concurrent.futures import ThreadPoolExecutor
+
+            return ThreadPoolExecutor(max_workers=self.num_workers), \
+                (lambda i: self.dataset[i])
+
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        ctx = mp.get_context("fork") if hasattr(os, "fork") else None
+        seed_base = random.getrandbits(31)
+        pool = ProcessPoolExecutor(max_workers=self.num_workers,
+                                   mp_context=ctx,
+                                   initializer=_init_worker,
+                                   initargs=(self.dataset, seed_base))
+        return pool, None  # None -> submit module-level _worker_fetch
 
     def __iter__(self):
         if self.num_workers <= 0:
             for i in self.order:
-                yield self.fetch_fn(i)
+                yield self.dataset[i]
             return
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        pool, fetch_fn = self._make_pool()
+        submit = ((lambda i: pool.submit(fetch_fn, i)) if fetch_fn is not None
+                  else (lambda i: pool.submit(_worker_fetch, i)))
+        with pool:
             futures = queue_mod.Queue()
             order_iter = iter(self.order)
             submitted = 0
@@ -75,14 +133,14 @@ class _PrefetchIterator:
                     idx = next(order_iter)
                 except StopIteration:
                     break
-                futures.put(pool.submit(self.fetch_fn, idx))
+                futures.put(submit(idx))
                 submitted += 1
             while submitted > 0:
                 fut = futures.get()
                 submitted -= 1
                 try:
                     idx = next(order_iter)
-                    futures.put(pool.submit(self.fetch_fn, idx))
+                    futures.put(submit(idx))
                     submitted += 1
                 except StopIteration:
                     pass
@@ -93,16 +151,18 @@ class SubjectsLoader:
     """Minimal DataLoader: yields lists of Subjects of size batch_size."""
 
     def __init__(self, dataset, batch_size: int, sampler, num_workers: int = 0,
-                 drop_last: bool = False):
+                 drop_last: bool = False, use_processes: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
         self.num_workers = num_workers
         self.drop_last = drop_last
+        self.use_processes = use_processes
 
     def __iter__(self) -> Iterator[List[Subject]]:
         order = list(iter(self.sampler))
-        items = _PrefetchIterator(lambda i: self.dataset[i], order, self.num_workers)
+        items = _PrefetchIterator(self.dataset, order, self.num_workers,
+                                  use_processes=self.use_processes)
         batch = []
         for item in items:
             batch.append(item)
@@ -242,7 +302,8 @@ class PatchQueue:
 
     def __init__(self, dataset, max_length: int, samples_per_volume: int,
                  sampler: PatchSampler, num_workers: int = 0,
-                 shuffle_subjects: bool = True, shuffle_patches: bool = True):
+                 shuffle_subjects: bool = True, shuffle_patches: bool = True,
+                 use_processes: bool = False):
         self.dataset = dataset
         self.max_length = max_length
         self.samples_per_volume = samples_per_volume
@@ -250,6 +311,7 @@ class PatchQueue:
         self.num_workers = num_workers
         self.shuffle_subjects = shuffle_subjects
         self.shuffle_patches = shuffle_patches
+        self.use_processes = use_processes
 
     def __len__(self):
         return len(self.dataset) * self.samples_per_volume
@@ -258,8 +320,8 @@ class PatchQueue:
         order = list(range(len(self.dataset)))
         if self.shuffle_subjects:
             random.shuffle(order)
-        return _PrefetchIterator(lambda i: self.dataset[i], order,
-                                 self.num_workers)
+        return _PrefetchIterator(self.dataset, order, self.num_workers,
+                                 use_processes=self.use_processes)
 
     def __iter__(self) -> Iterator[Subject]:
         buffer: List[Subject] = []
@@ -309,22 +371,30 @@ class DataLoaderFactory(ABC):
 
 
 class StandardDataLoader(DataLoaderFactory):
-    def __init__(self, sampler=SequentialSampler):
+    def __init__(self, sampler=SequentialSampler, use_processes: bool = False):
         self.sampler = sampler
+        # process workers (torch num_workers model) instead of threads:
+        # scales pure-Python/scipy transform pipelines on multicore hosts
+        self.use_processes = use_processes
 
     def get_data_loader(self, dataset, batch_size: int, num_workers: int = 0):
         return SubjectsLoader(dataset=dataset, batch_size=batch_size,
-                              sampler=self.sampler(dataset), num_workers=num_workers)
+                              sampler=self.sampler(dataset),
+                              num_workers=num_workers,
+                              use_processes=self.use_processes)
 
 
 class PatchDataLoader(DataLoaderFactory):
-    def __init__(self, max_length: int, samples_per_volume: int, sampler: PatchSampler):
+    def __init__(self, max_length: int, samples_per_volume: int,
+                 sampler: PatchSampler, use_processes: bool = False):
         self.max_length = max_length
         self.samples_per_volume = samples_per_volume
         self.sampler = sampler
+        self.use_processes = use_processes
 
     def get_data_loader(self, dataset, batch_size: int, num_workers: int = 0):
         queue = PatchQueue(dataset, max_length=self.max_length,
                            samples_per_volume=self.samples_per_volume,
-                           sampler=self.sampler, num_workers=num_workers)
+                           sampler=self.sampler, num_workers=num_workers,
+                           use_processes=self.use_processes)
         return _QueueLoader(queue, batch_size)

@@ -287,31 +287,54 @@ class SegmentationTrainer:
                 raise ValueError(
                     "device_cache with a refine_image (cascade) predictor is "
                     "not supported — the prior is prediction-dependent")
-            from ..data.device_cache import DeviceDataCache
-            from ..data.loader import RandomSampler, StandardDataLoader
+            from ..data.device_cache import DeviceDataCache, DevicePatchCache
+            from ..data.loader import (PatchDataLoader, RandomSampler,
+                                       StandardDataLoader)
 
-            if not isinstance(self.train_dataloader_factory, StandardDataLoader):
+            if not isinstance(self.train_dataloader_factory,
+                              (StandardDataLoader, PatchDataLoader)):
                 raise ValueError(
-                    "device_cache currently supports StandardDataLoader "
-                    "factories (whole-volume training); patch training uses "
-                    "the host patch queue")
+                    "device_cache supports StandardDataLoader (whole-volume) "
+                    "and PatchDataLoader (device-side patch sampling) "
+                    "factories")
             if not training_dataset._pretransformed:
                 t = time.time()
                 print("Pretransforming training data for the device cache...")
                 training_dataset.preload_and_transform_subjects()
                 print(f"Done. Took {round(time.time() - t, 2)}s")
-            cache = DeviceDataCache(training_dataset.subjects,
-                                    x_dtype=x_np_dtype, mesh=self.mesh)
+
+            if isinstance(self.train_dataloader_factory, StandardDataLoader):
+                cache = DeviceDataCache(training_dataset.subjects,
+                                        x_dtype=x_np_dtype, mesh=self.mesh)
+                sampler_cls = self.train_dataloader_factory.sampler or RandomSampler
+
+                def infinite_indices():
+                    while True:
+                        order = list(iter(sampler_cls(training_dataset)))
+                        for j in range(0, len(order), self.training_batch_size):
+                            yield order[j:j + self.training_batch_size]
+            else:
+                # patch training: volumes + center CDFs cached on device,
+                # centers drawn and patches sliced there; the host feeds
+                # only the queue-balanced subject-id stream
+                cache = DevicePatchCache(
+                    training_dataset.subjects,
+                    sampler=self.train_dataloader_factory.sampler,
+                    x_dtype=x_np_dtype, mesh=self.mesh)
+                spv = self.train_dataloader_factory.samples_per_volume
+
+                def infinite_indices():
+                    import random as _random
+
+                    while True:  # tio.Queue balance: spv patches/subject/epoch
+                        order = [i for i in range(len(training_dataset))
+                                 for _ in range(spv)]
+                        _random.shuffle(order)
+                        for j in range(0, len(order), self.training_batch_size):
+                            yield order[j:j + self.training_batch_size]
+
             print(f"Device cache: {cache.n_subjects} subjects, "
                   f"{cache.nbytes / 2 ** 20:.0f} MiB in HBM")
-            sampler_cls = self.train_dataloader_factory.sampler or RandomSampler
-
-            def infinite_indices():
-                while True:
-                    order = list(iter(sampler_cls(training_dataset)))
-                    for j in range(0, len(order), self.training_batch_size):
-                        yield order[j:j + self.training_batch_size]
-
             index_iterator = infinite_indices()
 
         def fetch_and_upload():
@@ -319,7 +342,24 @@ class SegmentationTrainer:
             async H2D transfer. Called while the device is busy with the
             current step so the upload rides under the compute."""
             if cache is not None:
+                nonlocal rng
                 idx = next(index_iterator)
+                if hasattr(cache, "sample"):  # DevicePatchCache
+                    rng, sample_key = jax.random.split(rng)
+                    batch, starts = cache.sample(idx, sample_key)
+
+                    def subjects_thunk(_idx=tuple(idx), _starts=starts):
+                        # host patch subjects (recorded Crop, invertible
+                        # history) recreated from the device-drawn starts —
+                        # only when a training evaluator needs them
+                        from ..data.loader import extract_patch
+
+                        starts_np = np.asarray(_starts)
+                        return [extract_patch(training_dataset.subjects[i],
+                                              starts_np[k], cache.patch_size)
+                                for k, i in enumerate(_idx)]
+
+                    return subjects_thunk, dict(batch)
 
                 def subjects_thunk(_idx=tuple(idx)):
                     # host Subject copies materialized only when a scheduled

@@ -115,15 +115,125 @@ class TestTrainerDeviceCache:
         # scheduled training evaluator ran on materialized cached subjects
         assert any("training_segmentation_eval" in m for m in metrics)
 
-    def test_cache_rejects_patch_factory(self, tmp_path):
+    def test_cache_rejects_unknown_factory(self, tmp_path):
+        class CustomFactory(sp.DataLoaderFactory):
+            def get_data_loader(self, dataset, batch_size, num_workers=0):
+                raise NotImplementedError
+
         root = tmp_path / "ds"
         build_dataset(root)
         context = build_context(root, tmp_path / "logs")
+        context.update_component("trainer", device_cache=True,
+                                 train_dataloader_factory=CustomFactory())
+        context.init_components()
+        with pytest.raises(ValueError, match="device_cache supports"):
+            context.trainer.train(context, max_iterations=1)
+
+
+class TestDevicePatchCache:
+    def _patch_subjects(self, shapes=((24, 20, 16), (20, 18, 16)), classes=2):
+        from segmentation_pipeline_tpu.core.subject import (LabelMap,
+                                                           ScalarImage, Subject)
+
+        rng = np.random.default_rng(0)
+        subs = []
+        for i, shape in enumerate(shapes):
+            s = Subject(name=f"s{i}", folder="/tmp")
+            s["X"] = ScalarImage(
+                tensor=rng.normal(size=(2, *shape)).astype(np.float32))
+            ids = np.zeros(shape, np.int64)
+            ids[4:10, 4:10, 4:10] = 1
+            onehot = np.moveaxis(np.eye(classes, dtype=np.float32)[ids], -1, 0)
+            s["y"] = LabelMap(tensor=onehot, label_values={"fg": 1})
+            prob = np.zeros((1, *shape), np.float32)
+            prob[0, 6:12, 6:12, 6:10] = 1.0  # centers restricted here
+            s["patch_probability"] = ScalarImage(tensor=prob)
+            subs.append(s)
+        return subs
+
+    def _cache(self, subs, patch_size=(8, 8, 8)):
+        from segmentation_pipeline_tpu.data.device_cache import DevicePatchCache
+
+        sampler = sp.WeightedSampler(patch_size=patch_size,
+                                     probability_map="patch_probability")
+        return DevicePatchCache(subs, sampler=sampler), sampler
+
+    def test_device_patches_match_host_extraction(self):
+        import jax
+
+        from segmentation_pipeline_tpu.data.loader import extract_patch
+
+        subs = self._patch_subjects()
+        cache, sampler = self._cache(subs)
+        idx = [0, 1, 1, 0]
+        batch, starts = cache.sample(idx, jax.random.PRNGKey(7))
+        starts = np.asarray(starts)
+        X = np.asarray(batch["X"])
+        y = np.asarray(batch["y"])
+        for k, i in enumerate(idx):
+            host = extract_patch(subs[i], starts[k], (8, 8, 8))
+            want_X = np.moveaxis(np.asarray(host["X"].data), 0, -1)
+            want_y = np.moveaxis(np.asarray(host["y"].data), 0, -1)
+            np.testing.assert_array_equal(X[k], want_X)
+            np.testing.assert_array_equal(y[k], want_y)
+
+    def test_centers_follow_probability_map(self):
+        import jax
+
+        subs = self._patch_subjects()
+        cache, sampler = self._cache(subs)
+        all_centers = []
+        for t in range(20):
+            _, starts = cache.sample([0] * 8, jax.random.PRNGKey(t))
+            all_centers.append(np.asarray(starts) + np.array([4, 4, 4]))
+        centers = np.concatenate(all_centers)
+        # probability mass is 1 only inside [6,12)x[6,12)x[6,10)
+        assert (centers[:, 0] >= 6).all() and (centers[:, 0] < 12).all()
+        assert (centers[:, 1] >= 6).all() and (centers[:, 1] < 12).all()
+        assert (centers[:, 2] >= 6).all() and (centers[:, 2] < 10).all()
+        # and the draw actually varies
+        assert len(np.unique(centers, axis=0)) > 10
+
+    def test_padding_never_sampled(self):
+        import jax
+
+        subs = self._patch_subjects()  # ragged: second subject smaller
+        cache, _ = self._cache(subs)
+        _, starts = cache.sample([1] * 16, jax.random.PRNGKey(3))
+        starts = np.asarray(starts)
+        ends = starts + np.array([8, 8, 8])
+        true_shape = np.array([20, 18, 16])
+        assert (ends <= true_shape).all()
+
+    def test_trainer_patch_cache_end_to_end(self, tmp_path):
+        root = tmp_path / "ds"
+        logs = tmp_path / "logs"
+        build_dataset(root)
+        context = build_context(root, logs)
+        # switch to patch training with a label-derived probability map
+        transforms = {"default": sp.Compose([
+            sp.RescaleIntensity((-1, 1), (0.5, 99.5)),
+            sp.ConcatenateImages(image_names=["t1"], image_channels=[1],
+                                 new_image_name="X"),
+            sp.RenameProperty(old_name="seg", new_name="y"),
+            sp.ImageFromLabels(new_image_name="patch_probability",
+                               label_weights=[("y", "fg", 100)]),
+            sp.CustomOneHot(include=["y"]),
+        ])}
+        context.update_component("dataset", transforms=transforms)
         context.update_component(
             "trainer", device_cache=True,
             train_dataloader_factory=sp.PatchDataLoader(
-                max_length=8, samples_per_volume=1,
-                sampler=sp.UniformSampler((8, 8, 4))))
+                max_length=16, samples_per_volume=4,
+                sampler=sp.WeightedSampler(
+                    patch_size=(8, 8, 8),
+                    probability_map="patch_probability")))
         context.init_components()
-        with pytest.raises(ValueError, match="StandardDataLoader"):
-            context.trainer.train(context, max_iterations=1)
+        logger = FileLogger(str(logs))
+        context.trainer.train(context, max_iterations=11, logger=logger)
+        metrics = [json.loads(l) for l in open(logger.run_dir / "metrics.jsonl")]
+        assert len(metrics) == 11
+        assert all(np.isfinite(m["loss"]) for m in metrics)
+        # training evaluator ran on host patches recreated from device starts
+        evald = [m for m in metrics if "training_segmentation_eval" in m]
+        assert evald
