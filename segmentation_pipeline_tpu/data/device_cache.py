@@ -217,40 +217,54 @@ class DevicePatchCache:
         W, H, D = self.volume_shape
         pw, ph, pd = self.patch_size
         half = patch_size // 2
+        V = W * H * D
+        n_bits = int(np.ceil(np.log2(max(V, 2))))
 
         def sample(subj_idx, key):
+            """One lax.scan over the batch: per sample a 23-step binary
+            search reading single CDF elements, then true dynamic_slice
+            patch extraction on the stacked cache — no batched gather (XLA's
+            generic gather lowering is slow for large slices on TPU; scan of
+            dynamic_slice is the fast path, and the batch is tiny)."""
             u = jax.random.uniform(key, subj_idx.shape)
 
-            def one(si, ui):
-                row = jax.lax.dynamic_index_in_dim(cache_cdf, si, axis=0,
-                                                   keepdims=False)
-                flat = jnp.searchsorted(row, ui, side="left")
-                flat = jnp.clip(flat, 0, W * H * D - 1)
+            def body(carry, inp):
+                si, ui = inp
+                # first flat index with cdf[si, idx] >= ui (searchsorted
+                # 'left') without materializing the V-element row
+                def step(_, lohi):
+                    lo, hi = lohi
+                    mid = (lo + hi) // 2
+                    below = jax.lax.dynamic_slice(cache_cdf, (si, mid),
+                                                  (1, 1))[0, 0] < ui
+                    return (jnp.where(below, mid + 1, lo),
+                            jnp.where(below, hi, mid))
+
+                lo, _ = jax.lax.fori_loop(
+                    0, n_bits, step, (jnp.int32(0), jnp.int32(V - 1)))
+                flat = jnp.clip(lo, 0, V - 1)
                 cw, rem = jnp.divmod(flat, H * D)
                 ch, cd = jnp.divmod(rem, D)
                 start = jnp.stack([cw, ch, cd]) - jnp.asarray(half)
                 # valid-center masking already guarantees fit; clip guards
                 # the degenerate all-zero-probability fallback row
-                start = jnp.clip(start, 0, jnp.asarray([W - pw, H - ph, D - pd]))
+                start = jnp.clip(start, 0,
+                                 jnp.asarray([W - pw, H - ph, D - pd]))
                 xp = jax.lax.dynamic_slice(
-                    jax.lax.dynamic_index_in_dim(cache_X, si, 0, keepdims=False),
-                    (start[0], start[1], start[2], 0),
-                    (pw, ph, pd, cache_X.shape[-1]))
+                    cache_X, (si, start[0], start[1], start[2], 0),
+                    (1, pw, ph, pd, cache_X.shape[-1]))[0]
                 if is_onehot:
                     yp = jax.lax.dynamic_slice(
-                        jax.lax.dynamic_index_in_dim(cache_y, si, 0,
-                                                     keepdims=False),
-                        (start[0], start[1], start[2]), (pw, ph, pd))
+                        cache_y, (si, start[0], start[1], start[2]),
+                        (1, pw, ph, pd))[0]
                     yp = jax.nn.one_hot(yp, n_classes, dtype=jnp.float32)
                 else:
                     yp = jax.lax.dynamic_slice(
-                        jax.lax.dynamic_index_in_dim(cache_y, si, 0,
-                                                     keepdims=False),
-                        (start[0], start[1], start[2], 0),
-                        (pw, ph, pd, cache_y.shape[-1]))
-                return xp, yp, start
+                        cache_y, (si, start[0], start[1], start[2], 0),
+                        (1, pw, ph, pd, cache_y.shape[-1]))[0]
+                return carry, (xp, yp, start)
 
-            xb, yb, starts = jax.vmap(one)(subj_idx, u)
+            _, (xb, yb, starts) = jax.lax.scan(body, 0, (subj_idx, u))
             return {"X": xb, "y": yb}, starts
 
         if out_shardings is not None:
