@@ -230,13 +230,16 @@ class DevicePatchCache:
 
             def body(carry, inp):
                 si, ui = inp
-                # first flat index with cdf[si, idx] >= ui (searchsorted
-                # 'left') without materializing the V-element row
+                # first flat index with cdf[si, idx] > ui (searchsorted
+                # 'right') without materializing the V-element row; 'right'
+                # (not 'left') so u landing exactly on a flat-CDF value —
+                # including u == 0.0 over leading zero-probability voxels —
+                # resolves to the next POSITIVE-probability voxel
                 def step(_, lohi):
                     lo, hi = lohi
                     mid = (lo + hi) // 2
                     below = jax.lax.dynamic_slice(cache_cdf, (si, mid),
-                                                  (1, 1))[0, 0] < ui
+                                                  (1, 1))[0, 0] <= ui
                     return (jnp.where(below, mid + 1, lo),
                             jnp.where(below, hi, mid))
 

@@ -186,8 +186,14 @@ def random_noise(key, x, std=0.1):
 
 def rescale_intensity(x, out_min=-1.0, out_max=1.0,
                       percentiles=(0.0, 100.0)):
-    lo = jnp.percentile(x, percentiles[0])
-    hi = jnp.percentile(x, percentiles[1])
+    # percentiles are the hot-path cost: each jnp.percentile call sorts the
+    # full volume, and TPU sorts are slow. One fused call (single sort)
+    # for real percentiles; min/max (no sort at all) for (0, 100).
+    p_lo, p_hi = percentiles
+    if p_lo <= 0.0 and p_hi >= 100.0:
+        lo, hi = x.min(), x.max()
+    else:
+        lo, hi = jnp.percentile(x, jnp.asarray(percentiles, jnp.float32))
     x = jnp.clip(x, lo, hi)
     scale = jnp.where(hi - lo > 1e-12, (out_max - out_min) / (hi - lo), 0.0)
     return (x - lo) * scale + out_min
