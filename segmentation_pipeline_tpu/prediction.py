@@ -268,6 +268,35 @@ class PatchPredict(Predictor):
             if n_ch is None or n_ch <= 1:
                 use_argmax = False
 
+        def run_with_batch_degrade(run):
+            """Execute the fused window program, halving patch_batch_size on
+            resource/compile exhaustion (a 96^3 x batch-32 depth-6 program
+            can exceed a chip's HBM or the compiler's memory, ref msseg2
+            validation config msseg2.py:139-146) — a clean run at reduced
+            patch throughput beats a crashed validation sweep. The reduced
+            batch is remembered for subsequent subjects/calls."""
+            import jax as _jax
+
+            batch_size = getattr(self, "_effective_patch_batch",
+                                 self.patch_batch_size)
+            while True:
+                try:
+                    y = run(batch_size)
+                    _jax.block_until_ready(y)  # surface async failures here
+                    self._effective_patch_batch = batch_size
+                    return y
+                except Exception as e:  # noqa: BLE001 — filtered below
+                    msg = str(e)
+                    resource = any(tag in msg for tag in (
+                        "RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
+                        "OOM", "tpu_compile_helper", "remote_compile"))
+                    if batch_size <= 1 or not resource:
+                        raise
+                    batch_size = max(1, batch_size // 2)
+                    print(f"PatchPredict: window program exhausted device/"
+                          f"compiler memory; retrying with patch_batch_size="
+                          f"{batch_size}", flush=True)
+
         out_subjects = []
         preds = []
         for subject in subjects:
@@ -301,11 +330,12 @@ class PatchPredict(Predictor):
                         patch_overlap=self.patch_overlap,
                         mode=mode, mesh=self.mesh, model_args=model_args)
                 else:
-                    y_pred = distributed_sliding_window(
-                        volume, model_fn, patch_size=patch_size,
-                        patch_overlap=self.patch_overlap,
-                        patch_batch=self.patch_batch_size,
-                        mode=mode, mesh=self.mesh, model_args=model_args)
+                    y_pred = run_with_batch_degrade(lambda bs: (
+                        distributed_sliding_window(
+                            volume, model_fn, patch_size=patch_size,
+                            patch_overlap=self.patch_overlap,
+                            patch_batch=bs, mode=mode, mesh=self.mesh,
+                            model_args=model_args)))
                 if use_argmax:
                     # post-hoc device argmax: only ids cross the host link
                     y_pred = jnp.argmax(y_pred, axis=0).astype(
@@ -317,13 +347,14 @@ class PatchPredict(Predictor):
                         jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32):
                     # the model casts to this dtype anyway: upload half-size
                     transfer_dtype = compute_dtype
-                y_pred = sliding_window_inference(
-                    volume, model_fn, patch_size=patch_size,
-                    patch_overlap=self.patch_overlap,
-                    patch_batch=self.patch_batch_size, mode=mode,
-                    model_args=model_args,
-                    output_labels=use_argmax,
-                    transfer_dtype=transfer_dtype)
+                y_pred = run_with_batch_degrade(lambda bs: (
+                    sliding_window_inference(
+                        volume, model_fn, patch_size=patch_size,
+                        patch_overlap=self.patch_overlap,
+                        patch_batch=bs, mode=mode,
+                        model_args=model_args,
+                        output_labels=use_argmax,
+                        transfer_dtype=transfer_dtype)))
             if use_argmax:
                 ids = np.asarray(y_pred)  # (W, H, D) small-int ids
                 if padded:

@@ -237,3 +237,63 @@ class TestDevicePatchCache:
         # training evaluator ran on host patches recreated from device starts
         evald = [m for m in metrics if "training_segmentation_eval" in m]
         assert evald
+
+
+class TestPatchBatchDegrade:
+    def test_patch_predict_halves_batch_on_resource_exhaustion(
+            self, tmp_path, monkeypatch):
+        """A window program too big for the device/compiler degrades to a
+        smaller patch batch instead of crashing (weak item r1-#7)."""
+        import segmentation_pipeline_tpu.prediction as prediction_mod
+        from segmentation_pipeline_tpu.core.subject import ScalarImage, Subject
+
+        real = prediction_mod.sliding_window_inference
+        calls = []
+
+        def flaky(volume, model_fn, patch_size, patch_overlap, patch_batch,
+                  **kw):
+            calls.append(patch_batch)
+            if patch_batch > 2:
+                raise RuntimeError("RESOURCE_EXHAUSTED: Attempting to "
+                                   "allocate 21.37G")
+            return real(volume, model_fn, patch_size=patch_size,
+                        patch_overlap=patch_overlap, patch_batch=patch_batch,
+                        **kw)
+
+        monkeypatch.setattr(prediction_mod, "sliding_window_inference", flaky)
+
+        model = sp.SegModel(sp.NestedResUNet(input_channels=1,
+                                             output_channels=2, filters=4))
+        rng = np.random.default_rng(0)
+        s = Subject(name="s0", folder="/tmp")
+        s["X"] = ScalarImage(tensor=rng.normal(size=(1, 16, 16, 8)).astype(np.float32))
+        pred = sp.PatchPredict(image_names=["X"], patch_size=(8, 8, 8),
+                               patch_overlap=2, patch_batch_size=8)
+        out, batch = pred.predict(model, [s])
+        assert calls == [8, 4, 2]  # halved until it fit
+        assert batch["y_pred"].shape == (1, 2, 16, 16, 8)
+        assert pred._effective_patch_batch == 2  # remembered
+
+        # second subject starts straight at the working batch size
+        calls.clear()
+        s2 = Subject(name="s1", folder="/tmp")
+        s2["X"] = ScalarImage(tensor=rng.normal(size=(1, 16, 16, 8)).astype(np.float32))
+        pred.predict(model, [s2])
+        assert calls == [2]
+
+    def test_non_resource_errors_still_raise(self, tmp_path, monkeypatch):
+        import segmentation_pipeline_tpu.prediction as prediction_mod
+        from segmentation_pipeline_tpu.core.subject import ScalarImage, Subject
+
+        def broken(*a, **kw):
+            raise RuntimeError("shape mismatch: genuine bug")
+
+        monkeypatch.setattr(prediction_mod, "sliding_window_inference", broken)
+        model = sp.SegModel(sp.NestedResUNet(input_channels=1,
+                                             output_channels=2, filters=4))
+        s = Subject(name="s0", folder="/tmp")
+        s["X"] = ScalarImage(tensor=np.zeros((1, 16, 16, 8), np.float32))
+        pred = sp.PatchPredict(image_names=["X"], patch_size=(8, 8, 8),
+                               patch_batch_size=8)
+        with pytest.raises(RuntimeError, match="genuine bug"):
+            pred.predict(model, [s])

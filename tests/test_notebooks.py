@@ -1,7 +1,9 @@
-"""Headless execution of the visualization notebook — the reference treats
-its notebooks as de-facto integration tests (SURVEY §4); ours actually runs
-in CI: synthetic dataset -> train -> predict -> evaluator -> contour image
--> widget browsers, end to end."""
+"""Headless execution of the notebooks — the reference treats its notebooks
+as de-facto integration tests (SURVEY §4); ours actually run in CI:
+visualizations (synthetic dataset -> train -> predict -> evaluator ->
+contour image -> widget browsers) and ms-evaluation (offline
+lesion-detection metric pipeline), end to end."""
+import os
 from pathlib import Path
 
 import pytest
@@ -9,15 +11,12 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 
-@pytest.mark.slow
-def test_visualizations_notebook_executes(monkeypatch):
+def _execute(name: str, monkeypatch) -> str:
     import nbformat
     from nbclient import NotebookClient
 
     # the kernel is a subprocess: force plain CPU jax there (drop the axon
     # platform plugin activation, as in test_multihost_launcher)
-    import os
-
     monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
@@ -25,8 +24,7 @@ def test_visualizations_notebook_executes(monkeypatch):
         [str(REPO)] + [p for p in
                        os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]))
 
-    nb_path = REPO / "notebooks" / "visualizations.ipynb"
-    nb = nbformat.read(nb_path, as_version=4)
+    nb = nbformat.read(REPO / "notebooks" / name, as_version=4)
     client = NotebookClient(
         nb, timeout=900, kernel_name="python3",
         resources={"metadata": {"path": str(REPO / "notebooks")}})
@@ -34,9 +32,20 @@ def test_visualizations_notebook_executes(monkeypatch):
 
     executed = [c for c in nb.cells if c.cell_type == "code"]
     assert all(c.execution_count is not None for c in executed)
-    # the dice assertion cell ran (its print reached stdout)
-    text = "".join(
+    return "".join(
         "".join(o.get("text", "") for o in c.get("outputs", [])
                 if o.get("output_type") == "stream")
         for c in executed)
+
+
+@pytest.mark.slow
+def test_visualizations_notebook_executes(monkeypatch):
+    text = _execute("visualizations.ipynb", monkeypatch)
+    # the dice assertion cell ran (its print reached stdout)
     assert "validation dice after 16 iterations" in text
+
+
+@pytest.mark.slow
+def test_ms_evaluation_notebook_executes(monkeypatch):
+    text = _execute("ms-evaluation.ipynb", monkeypatch)
+    assert "mean detection recall" in text
