@@ -49,3 +49,29 @@ def test_visualizations_notebook_executes(monkeypatch):
 def test_ms_evaluation_notebook_executes(monkeypatch):
     text = _execute("ms-evaluation.ipynb", monkeypatch)
     assert "mean detection recall" in text
+
+
+@pytest.mark.slow
+def test_data_processing_notebook_executes(monkeypatch):
+    text = _execute("data_processing.ipynb", monkeypatch)
+    assert "subjects after ingestion: 9" in text
+    # the reference contraction identity-check cell printed ~0
+    assert "reference contraction" in text
+
+
+@pytest.mark.slow
+def test_hippo_shapes_notebook_executes(monkeypatch):
+    text = _execute("hippo_shapes.ipynb", monkeypatch)
+    assert "suggested training crop" in text
+
+
+@pytest.mark.slow
+def test_calc_quadratic_curve_notebook_executes(monkeypatch):
+    text = _execute("calc_quadratic_curve.ipynb", monkeypatch)
+    assert "mean |percent_diff| on the fitting cohort" in text
+
+
+@pytest.mark.slow
+def test_debugging_notebook_executes(monkeypatch):
+    text = _execute("debugging_01.ipynb", monkeypatch)
+    assert "resumed at iteration 4" in text
