@@ -35,7 +35,15 @@ def trilinear_sample(volume: jnp.ndarray, coords: jnp.ndarray,
     All 8 corner taps go through ONE flat-index gather (jnp.take on the
     flattened volume) instead of 8 advanced-indexing gathers — measured
     1.7x faster on v5e for 96^3 warps, bit-identical output (TPU gathers
-    are the cost of the whole augmentation pipeline; see PARITY.md)."""
+    are the cost of the whole augmentation pipeline; see PARITY.md).
+
+    CLOSED investigation (v5e, 96^3 C=2 f32): pre-pairing neighbor voxels
+    into wider gather rows to cut descriptor count — pair-d (2C rows,
+    4 taps) 200 ms, pair-hd (4C, 2 taps) 156 ms, pair-whd (8C, 1 tap)
+    119 ms vs 136 ms for this kernel; lax.gather with slice_sizes
+    (2,2,2,C) 4524 ms. The only winner (pair-whd, ~13%) costs 8x HBM for
+    the source volume, which is prohibitive at whole-volume shapes, so
+    the flat-index gather stays."""
     W, H, D, C = volume.shape
     flat = volume.reshape(W * H * D, C)
     cw = jnp.clip(coords[0], 0, W - 1)

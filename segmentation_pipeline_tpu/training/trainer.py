@@ -557,8 +557,11 @@ class SegmentationTrainer:
         finally:
             # drain pending async checkpoint writes before returning — the
             # exit checkpoint must be durable the moment train() returns
-            # (SLURM preemption semantics, ref segmentation_trainer.py:279-280)
-            logger.close()
+            # (SLURM preemption semantics, ref segmentation_trainer.py:279-280).
+            # Duck-typed loggers (tests) may not define close().
+            close = getattr(logger, "close", None)
+            if close is not None:
+                close()
 
     def get_filter_from_scheduled_evaluations(self, dataset, scheduled_evaluations):
         from ..data.subject_filters import AnyFilter, RequireAttributes
