@@ -26,17 +26,22 @@ class LabeledTensor:
         self.dim_key_map = [{key: i for i, key in enumerate(keys)} for keys in self.dim_keys]
         self.data = np.zeros([len(k) for k in self.dim_keys], dtype=np.float64)
 
+    def _resolve(self, axis: int, k):
+        """Map one axis of a key to numpy indexing: label strings become
+        integer positions via the axis' key map; ints/slices pass through;
+        sequences resolve elementwise (mixed labels and ints allowed)."""
+        if k is Ellipsis:
+            raise NotImplementedError(
+                "Ellipsis indexing is not supported for LabeledTensors")
+        if isinstance(k, str):
+            return self.dim_key_map[axis][k]
+        if is_sequence(k):
+            return [self._resolve(axis, e) for e in k]
+        return k
+
     def parse_key(self, key):
-        key = as_list(key) if not isinstance(key, tuple) else list(key)
-        if any(k is Ellipsis for k in key):
-            raise NotImplementedError("Ellipsis indexing is not supported for LabeledTensors")
-        for i, k in enumerate(key):
-            key_map = self.dim_key_map[i]
-            if isinstance(k, str):
-                key[i] = key_map[k]
-            elif is_sequence(k):
-                key[i] = [key_map[e] if isinstance(e, str) else e for e in k]
-        return tuple(key)
+        axes = list(key) if isinstance(key, tuple) else as_list(key)
+        return tuple(self._resolve(i, k) for i, k in enumerate(axes))
 
     def __getitem__(self, key) -> np.ndarray:
         return self.data[self.parse_key(key)]

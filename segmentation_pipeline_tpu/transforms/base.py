@@ -19,7 +19,7 @@ from typing import Any, Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
-from ..core.subject import Image, Subject
+from ..core.subject import Image, LabelMap, Subject
 from ..utils.misc import as_list, auto_str
 
 # Transform RNG: the reference uses the unseeded global RNG; here each
@@ -143,7 +143,16 @@ class IntensityTransform(Transform):
 
 
 class LabelTransform(Transform):
-    """Label-map manipulation; part of the evaluation-space inverse set."""
+    """Label-map manipulation; part of the evaluation-space inverse set.
+
+    Applies only to LabelMap images (torchio LabelTransform semantics the
+    reference relies on — e.g. ref custom_label_transforms.py:20-336 never
+    touches ScalarImages even without include=)."""
+
+    def get_images_dict(self, subject, intensity_only: bool = False):
+        return {name: image
+                for name, image in super().get_images_dict(subject, intensity_only).items()
+                if isinstance(image, LabelMap)}
 
 
 class RandomTransform(Transform):

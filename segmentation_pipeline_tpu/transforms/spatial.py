@@ -11,6 +11,7 @@ device path lives in ops/resample.py.
 """
 from __future__ import annotations
 
+import itertools
 from statistics import mean, median
 from typing import Optional, Sequence, Tuple
 
@@ -327,6 +328,25 @@ class TargetResample(Resample):
         self.target_spacing = target_spacing
         self.tolerance = Resample.parse_spacing(tolerance)
 
+    @staticmethod
+    def _snap_spacing(cur: float, tar: float, tol: float) -> float:
+        """Smallest-denominator rational snap of the per-axis resample scale
+        (behavioral parity with ref target_resample.py:49-68): walking
+        denominators q = 1, 2, ..., round the scale ratio to the nearest
+        q-th — upscaling snaps tar/cur to p/q; downscaling snaps cur/tar to
+        p/q and uses its reciprocal — and accept the first spacing landing
+        within tolerance of the target.  Low-denominator rational scales
+        keep resampled grid dimensions exact."""
+        if abs(cur - tar) <= tol:
+            return cur
+        upscale = cur < tar
+        ratio = (tar / cur) if upscale else (cur / tar)
+        for q in itertools.count(1):
+            snapped = round(ratio * q) / q
+            spacing = cur * (snapped if upscale else 1.0 / snapped)
+            if abs(spacing - tar) <= tol:
+                return spacing
+
     def apply_transform(self, subject):
         current = subject.get_first_image().spacing
         if isinstance(self.target_spacing, str):
@@ -338,19 +358,8 @@ class TargetResample(Resample):
         if all(abs(c - t) < tol for c, t, tol in zip(current, target, self.tolerance)):
             return None
 
-        # Iterative rational-scale search (ref target_resample.py:49-68)
-        new_spacing = []
-        for cur, tar, tol in zip(current, target, self.tolerance):
-            step = 1
-            spacing = cur
-            while abs(spacing - tar) > tol:
-                if cur < tar:
-                    scale = round((tar / cur) * step) / step
-                else:
-                    scale = 1 / (round((cur / tar) * step) / step)
-                spacing = cur * scale
-                step += 1
-            new_spacing.append(spacing)
+        new_spacing = [self._snap_spacing(cur, tar, tol)
+                       for cur, tar, tol in zip(current, target, self.tolerance)]
 
         resample = Resample(target=tuple(new_spacing),
                             image_interpolation=self.image_interpolation,

@@ -4,10 +4,12 @@ from .dataset_files import prepare_dataset_files
 from .misc import (
     as_list,
     as_set,
+    as_tuple,
     auto_str,
     filter_kwargs,
     flatten_nested_dict,
     is_sequence,
+    load_module,
     no_op,
     prod,
     random_folds,
@@ -15,5 +17,9 @@ from .misc import (
     vargs_or_sequence,
 )
 from .timer import ProfilerTrace, Timer
+
+# drop-in import parity for reference code (ref utils/torch_timer.py:6 —
+# same role; this Timer synchronizes jax dispatch instead of cuda streams)
+TorchTimer = Timer
 
 __all__ = [k for k in dir() if not k.startswith("_")]

@@ -27,6 +27,27 @@ def as_list(x) -> list:
     return [x]
 
 
+def as_tuple(x) -> tuple:
+    """None -> (), sequence -> tuple, scalar -> 1-tuple (ref utils.py:31-36)."""
+    if x is None:
+        return ()
+    if is_sequence(x):
+        return tuple(x)
+    return (x,)
+
+
+def load_module(path):
+    """Import a python file by path as a module (ref utils.py:57-61) — the
+    reference CLIs load experiment configs this way."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(Path(path).stem, str(path))
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module
+
+
 def as_set(x) -> set:
     if isinstance(x, (list, tuple, set, frozenset, range)):
         return set(x)

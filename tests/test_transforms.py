@@ -97,6 +97,17 @@ class TestLabelTransforms:
         invert_records(s, s.history, warn=False)
         np.testing.assert_array_equal(np.asarray(s["seg"].data), orig)
 
+    def test_label_transforms_skip_scalar_images(self):
+        # torchio LabelTransform semantics: without include=, label transforms
+        # touch only LabelMaps — a CustomOneHot at the end of a pipeline must
+        # not one-hot the intensity image X.
+        s = make_subject(label_values={"a": 1, "b": 2})
+        x_orig = np.asarray(s["img"].data).copy()
+        assert isinstance(s["img"], ScalarImage)
+        CustomOneHot()(s)
+        np.testing.assert_array_equal(np.asarray(s["img"].data), x_orig)
+        assert s["seg"].data.shape[0] == 3  # the LabelMap did get one-hotted
+
     def test_remove_labels(self):
         s = make_subject(label_values={"a": 1, "b": 2})
         CustomRemoveLabels(["b"], include=["seg"])(s)
