@@ -82,12 +82,20 @@ def post_process_subjects(subjects, image_name):
 
 def main(ensemble_path, dataset_path, run_name, output_filename=None, out_folder="",
          ensemble_flips=False, ensemble_folds=False, cohort=None, num_workers=0,
-         batch_size=4):
+         batch_size=4, batched_tta=False, tta_mesh=False):
     input_args = dict(ensemble_path=str(ensemble_path), dataset_path=str(dataset_path),
                       run_name=run_name, output_filename=output_filename,
                       out_folder=str(out_folder), ensemble_flips=ensemble_flips,
                       ensemble_folds=ensemble_folds, cohort=str(cohort),
-                      num_workers=num_workers, batch_size=batch_size)
+                      num_workers=num_workers, batch_size=batch_size,
+                      batched_tta=batched_tta, tta_mesh=tta_mesh)
+
+    # batched_tta folds the 2^k flips into one forward; tta_mesh additionally
+    # shards that folded batch over all local devices (SPMD flip-TTA).
+    mesh = None
+    if tta_mesh:
+        from segmentation_pipeline_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
 
     ensemble_path = Path(ensemble_path)
     contexts = []
@@ -98,7 +106,8 @@ def main(ensemble_path, dataset_path, run_name, output_filename=None, out_folder
         context.init_components()
         if ensemble_flips:
             context.model = EnsembleFlips(context.model, strategy="majority",
-                                          spatial_dims=(3, 4))
+                                          spatial_dims=(3, 4),
+                                          batched=batched_tta, mesh=mesh)
         contexts.append(context)
     print("Loaded models.")
 

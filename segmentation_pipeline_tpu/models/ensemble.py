@@ -4,9 +4,20 @@ Behavioral parity with ref models/ensemble.py:9-103 (EnsembleModels,
 EnsembleFlips with all 2^k flip combos, EnsembleOrientations with all
 6 permutations x 8 flips = 48 orientations), re-designed as callables over
 channel-first (N, C, W, H, D) arrays that wrap any model callable (SegModel,
-another ensemble, ...).  The flip/permute loop is Python-unrolled — each
-member call reuses the wrapped model's cached jit executable, so TTA costs
-k compiled forwards and no recompiles.
+another ensemble, ...).
+
+Two execution modes:
+
+- unrolled (default, reference semantics): each member is a separate
+  forward; reuses the wrapped model's cached jit executable, so TTA costs
+  k compiled forwards and no recompiles.
+- batched (``batched=True`` or ``mesh=...``): the ensemble axis is folded
+  into the batch and all members run in ONE forward.  With a ``mesh`` the
+  folded batch is sharded over the mesh's ``data`` axis, so the 2^k flips
+  (or the 8 flips of each orientation group) execute SPMD across devices —
+  TTA is embarrassingly parallel and rides ICI instead of looping on one
+  chip.  Results are numerically identical to the unrolled mode (same
+  member forwards, same combine).
 """
 from __future__ import annotations
 
@@ -39,6 +50,16 @@ def apply_strategy(predictions: Sequence[jnp.ndarray], strategy: str) -> jnp.nda
     raise RuntimeError(f"Invalid prediction strategy {strategy}")
 
 
+def _shard_batch(x, mesh):
+    """Place a channel-first batch on the mesh, sharded over its data axis."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = "data" if "data" in mesh.axis_names else mesh.axis_names[0]
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 class EnsembleModels:
     """Average / majority-vote over a list of models (e.g. CV folds)."""
 
@@ -52,40 +73,72 @@ class EnsembleModels:
 
 class EnsembleFlips:
     """TTA over all flip combinations of the chosen spatial dims; each
-    prediction is un-flipped before combining (ref :50-71)."""
+    prediction is un-flipped before combining (ref :50-71).
+
+    ``batched=True`` folds the 2^k flip members into the batch dim and runs
+    them in one forward; ``mesh`` additionally shards that folded batch over
+    the mesh's data axis (SPMD flip-TTA)."""
 
     def __init__(self, model, strategy: str = "mean",
-                 spatial_dims: Sequence[int] = (2, 3, 4)):
+                 spatial_dims: Sequence[int] = (2, 3, 4),
+                 batched: bool = False, mesh=None):
         self.model = model
         self.strategy = parse_strategy(strategy)
         self.spatial_dims = tuple(spatial_dims)
+        self.batched = batched or mesh is not None
+        self.mesh = mesh
         self.flips = []
         for order in range(len(self.spatial_dims) + 1):
             self.flips += list(itertools.combinations(self.spatial_dims, order))
 
+    def _members(self, x):
+        """Predicted, un-flipped member outputs, one per flip combo."""
+        if not self.batched:
+            out = []
+            for flip in self.flips:
+                x_flipped = jnp.flip(x, axis=flip) if flip else x
+                y = self.model(x_flipped)
+                out.append(jnp.flip(y, axis=flip) if flip else y)
+            return out
+        n = x.shape[0]
+        stacked = jnp.concatenate(
+            [jnp.flip(x, axis=flip) if flip else x for flip in self.flips], axis=0)
+        if self.mesh is not None:
+            stacked = _shard_batch(stacked, self.mesh)
+        y_all = self.model(stacked)  # (E*N, C, ...)
+        out = []
+        for i, flip in enumerate(self.flips):
+            y = y_all[i * n:(i + 1) * n]
+            out.append(jnp.flip(y, axis=flip) if flip else y)
+        return out
+
     def __call__(self, x):
         x = jnp.asarray(x)
-        predictions = []
-        for flip in self.flips:
-            x_flipped = jnp.flip(x, axis=flip) if flip else x
-            y = self.model(x_flipped)
-            y = jnp.flip(y, axis=flip) if flip else y
-            predictions.append(y)
-        return apply_strategy(predictions, self.strategy)
+        return apply_strategy(self._members(x), self.strategy)
 
 
 class EnsembleOrientations:
     """TTA over all 6 spatial permutations x 8 flips = 48 orientations
-    (ref :74-103); the packaged run_inference TTA path."""
+    (ref :74-103); the packaged run_inference TTA path.
 
-    def __init__(self, model, strategy: str = "mean"):
+    In batched/mesh mode the 8 flips of each permutation group (identical
+    shapes) run as one sharded forward — 48 member forwards become 6."""
+
+    def __init__(self, model, strategy: str = "mean",
+                 batched: bool = False, mesh=None):
         self.model = model
         self.strategy = parse_strategy(strategy)
+        self.batched = batched or mesh is not None
+        self.mesh = mesh
         spatial_dims = (2, 3, 4)
         self.permutations = list(itertools.permutations(spatial_dims))
-        self.flips = []
-        for order in range(len(spatial_dims) + 1):
-            self.flips += list(itertools.combinations(spatial_dims, order))
+        self._flip_group = EnsembleFlips(model, strategy="mean",
+                                         spatial_dims=spatial_dims,
+                                         batched=batched, mesh=mesh)
+
+    @property
+    def flips(self):
+        return self._flip_group.flips
 
     def __call__(self, x):
         import numpy as np
@@ -95,9 +148,6 @@ class EnsembleOrientations:
         for permutation in self.permutations:
             inverse_permutation = tuple(int(i) + 2 for i in np.argsort(permutation))
             x_permuted = jnp.transpose(x, (0, 1, *permutation))
-            for flip in self.flips:
-                x_flipped = jnp.flip(x_permuted, axis=flip) if flip else x_permuted
-                y = self.model(x_flipped)
-                y = jnp.flip(y, axis=flip) if flip else y
+            for y in self._flip_group._members(x_permuted):
                 predictions.append(jnp.transpose(y, (0, 1, *inverse_permutation)))
         return apply_strategy(predictions, self.strategy)

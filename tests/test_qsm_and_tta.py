@@ -104,3 +104,46 @@ class TestEnsembleOrientations:
         direct = np.asarray(model(x))
         tta = np.asarray(EnsembleOrientations(model, "mean")(x))
         np.testing.assert_allclose(tta, direct, atol=1e-6)
+
+
+class TestBatchedShardedTTA:
+    """batched / mesh-sharded TTA == the unrolled reference semantics."""
+
+    @pytest.fixture(scope="class")
+    def seg_model(self):
+        import jax.numpy as jnp
+
+        from segmentation_pipeline_tpu.models.nested_unet import NestedResUNet
+        from segmentation_pipeline_tpu.training.model import SegModel
+
+        model = SegModel(NestedResUNet(input_channels=1, output_channels=2,
+                                       filters=4), seed=0)
+        model.ensure_initialized(jnp.zeros((1, 1, 8, 8, 8)))
+        return model
+
+    @pytest.fixture(scope="class")
+    def x(self):
+        return np.random.default_rng(3).normal(size=(1, 1, 8, 8, 8)).astype(np.float32)
+
+    def test_batched_flips_match_unrolled(self, seg_model, x):
+        from segmentation_pipeline_tpu.models.ensemble import EnsembleFlips
+
+        ref = np.asarray(EnsembleFlips(seg_model, "mean")(x))
+        fused = np.asarray(EnsembleFlips(seg_model, "mean", batched=True)(x))
+        np.testing.assert_allclose(fused, ref, atol=1e-5)
+
+    def test_mesh_sharded_flips_match_unrolled(self, seg_model, x):
+        from segmentation_pipeline_tpu.models.ensemble import EnsembleFlips
+        from segmentation_pipeline_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # 8 virtual devices; E=8 flips -> 1 member/device
+        ref = np.asarray(EnsembleFlips(seg_model, "majority")(x))
+        sharded = np.asarray(EnsembleFlips(seg_model, "majority", mesh=mesh)(x))
+        np.testing.assert_allclose(sharded, ref, atol=1e-5)
+
+    def test_batched_orientations_match_unrolled(self, seg_model, x):
+        from segmentation_pipeline_tpu.models.ensemble import EnsembleOrientations
+
+        ref = np.asarray(EnsembleOrientations(seg_model, "mean")(x))
+        fused = np.asarray(EnsembleOrientations(seg_model, "mean", batched=True)(x))
+        np.testing.assert_allclose(fused, ref, atol=1e-5)
