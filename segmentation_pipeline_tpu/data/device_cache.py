@@ -23,6 +23,18 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+def is_exact_onehot(y: np.ndarray, axis: int = 1) -> bool:
+    """True when ``y`` is exactly one-hot over ``axis`` with 1 < C <= 255 —
+    the single definition of "labels may cross the host link / sit in HBM as
+    uint8 class ids, bit-identical on expansion".  Shared by DeviceDataCache,
+    DevicePatchCache, and the trainer's compact-transfer path so the three
+    never drift apart."""
+    n_classes = int(y.shape[axis])
+    return (1 < n_classes <= 255
+            and bool(np.all((y == 0) | (y == 1)))
+            and bool(np.all(y.sum(axis=axis) == 1)))
+
+
 class DeviceDataCache:
     def __init__(self, subjects: Sequence, x_dtype=None, mesh=None,
                  data_axis: str = "data", max_bytes: int = 8 * 2 ** 30):
@@ -42,9 +54,7 @@ class DeviceDataCache:
             X = X.astype(x_dtype)
 
         n_classes = int(y.shape[1])
-        is_onehot = (1 < n_classes <= 255
-                     and bool(np.all((y == 0) | (y == 1)))
-                     and bool(np.all(y.sum(axis=1) == 1)))
+        is_onehot = is_exact_onehot(y, axis=1)
         if is_onehot:
             y_store = np.argmax(y, axis=1).astype(np.uint8)  # (S, W, H, D)
         else:
@@ -151,9 +161,12 @@ class DevicePatchCache:
             X = X.astype(x_dtype)
 
         n_classes = int(y.shape[1])
-        is_onehot = (1 < n_classes <= 255
-                     and bool(np.all((y == 0) | (y == 1)))
-                     and bool(np.all(y.sum(axis=1) == 1)))
+        # check one-hot-ness on the UNPADDED labels: ragged shapes zero-pad
+        # to max_shape and all-zero padded voxels would fail the channel-sum
+        # test, silently disabling uint8 compaction.  Padded voxels are never
+        # read (the valid-center CDF keeps patches inside the original
+        # extent), so argmaxing them to class 0 is unobservable.
+        is_onehot = all(is_exact_onehot(v, axis=0) for v in ys)
         if is_onehot:
             y_store = np.argmax(y, axis=1).astype(np.uint8)
         else:

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import queue as queue_mod
 import random
+from concurrent.futures.process import BrokenProcessPool
 from abc import ABC, abstractmethod
 from typing import Iterator, List, Sequence
 
@@ -46,6 +47,35 @@ def _init_worker(dataset, seed_base: int):
 
 def _worker_fetch(i: int):
     return _WORKER_DATASET[i]
+
+
+def _make_process_pool(dataset, num_workers: int):
+    """Process pool for loader workers.
+
+    Start method matters: plain ``fork`` from a parent whose JAX backend
+    (and, on this rig, the TPU-tunnel gRPC client threads) is already
+    initialized is documented-unsafe — forked children inherit mutexes held
+    mid-operation and can deadlock.  ``forkserver`` is safe (the server is
+    fork+exec'd clean before any worker exists and workers fork from IT, not
+    from the JAX-initialized parent); ``spawn`` is the fully-fresh fallback.
+    Both pickle the dataset once through the pool initializer, which was
+    already the contract.  Workers pay a one-time package import.
+
+    Both start methods re-import the launching script in the worker, so
+    user entry-point scripts must guard their body with
+    ``if __name__ == "__main__":`` — the standard torch-DataLoader-on-spawn
+    rule (unguarded scripts get an actionable RuntimeError from the
+    iterator instead of a bare BrokenProcessPool)."""
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    methods = mp.get_all_start_methods()
+    method = "forkserver" if "forkserver" in methods else "spawn"
+    seed_base = random.getrandbits(31)
+    return ProcessPoolExecutor(max_workers=num_workers,
+                               mp_context=mp.get_context(method),
+                               initializer=_init_worker,
+                               initargs=(dataset, seed_base))
 
 
 class RandomSampler:
@@ -90,30 +120,13 @@ class _PrefetchIterator:
     """
 
     def __init__(self, dataset, order: List[int], num_workers: int,
-                 prefetch: int = 4, use_processes: bool = False):
+                 prefetch: int = 4, use_processes: bool = False, pool=None):
         self.dataset = dataset
         self.order = order
         self.num_workers = num_workers
         self.use_processes = use_processes
+        self.pool = pool  # externally-owned persistent process pool
         self.prefetch = max(prefetch, num_workers * 2) if num_workers > 0 else 0
-
-    def _make_pool(self):
-        if not self.use_processes:
-            from concurrent.futures import ThreadPoolExecutor
-
-            return ThreadPoolExecutor(max_workers=self.num_workers), \
-                (lambda i: self.dataset[i])
-
-        import multiprocessing as mp
-        from concurrent.futures import ProcessPoolExecutor
-
-        ctx = mp.get_context("fork") if hasattr(os, "fork") else None
-        seed_base = random.getrandbits(31)
-        pool = ProcessPoolExecutor(max_workers=self.num_workers,
-                                   mp_context=ctx,
-                                   initializer=_init_worker,
-                                   initargs=(self.dataset, seed_base))
-        return pool, None  # None -> submit module-level _worker_fetch
 
     def __iter__(self):
         if self.num_workers <= 0:
@@ -121,10 +134,21 @@ class _PrefetchIterator:
                 yield self.dataset[i]
             return
 
-        pool, fetch_fn = self._make_pool()
-        submit = ((lambda i: pool.submit(fetch_fn, i)) if fetch_fn is not None
-                  else (lambda i: pool.submit(_worker_fetch, i)))
-        with pool:
+        owns_pool = False
+        if not self.use_processes:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            owns_pool = True
+            dataset = self.dataset
+            submit = lambda i: pool.submit(lambda j=i: dataset[j])  # noqa: E731
+        else:
+            pool = self.pool
+            if pool is None:
+                pool = _make_process_pool(self.dataset, self.num_workers)
+                owns_pool = True
+            submit = lambda i: pool.submit(_worker_fetch, i)  # noqa: E731
+        try:
             futures = queue_mod.Queue()
             order_iter = iter(self.order)
             submitted = 0
@@ -144,7 +168,21 @@ class _PrefetchIterator:
                     submitted += 1
                 except StopIteration:
                     pass
-                yield fut.result()
+                try:
+                    yield fut.result()
+                except BrokenProcessPool as e:
+                    raise RuntimeError(
+                        "A loader worker process died. With use_processes=True "
+                        "workers start via spawn/forkserver, which re-imports "
+                        "the launching script: entry-point scripts MUST guard "
+                        "their body with `if __name__ == '__main__':` (the "
+                        "same rule as torch DataLoader workers on spawn "
+                        "platforms). If the script is already guarded, the "
+                        "worker crashed hard (segfault/OOM) — rerun with "
+                        "PYTHONFAULTHANDLER=1 for a child traceback.") from e
+        finally:
+            if owns_pool:
+                pool.shutdown(wait=True)
 
 
 class SubjectsLoader:
@@ -158,11 +196,34 @@ class SubjectsLoader:
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.use_processes = use_processes
+        self._pool = None
+
+    def _get_pool(self):
+        """Persistent worker pool, reused across epochs (torch
+        persistent_workers model) — worker startup with spawn/forkserver
+        imports the package, too slow to pay every epoch."""
+        if not (self.use_processes and self.num_workers > 0):
+            return None
+        if self._pool is None:
+            self._pool = _make_process_pool(self.dataset, self.num_workers)
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __iter__(self) -> Iterator[List[Subject]]:
         order = list(iter(self.sampler))
         items = _PrefetchIterator(self.dataset, order, self.num_workers,
-                                  use_processes=self.use_processes)
+                                  use_processes=self.use_processes,
+                                  pool=self._get_pool())
         batch = []
         for item in items:
             batch.append(item)
@@ -312,16 +373,36 @@ class PatchQueue:
         self.shuffle_subjects = shuffle_subjects
         self.shuffle_patches = shuffle_patches
         self.use_processes = use_processes
+        self._pool = None
 
     def __len__(self):
         return len(self.dataset) * self.samples_per_volume
+
+    def _get_pool(self):
+        if not (self.use_processes and self.num_workers > 0):
+            return None
+        if self._pool is None:
+            self._pool = _make_process_pool(self.dataset, self.num_workers)
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _subject_iterator(self):
         order = list(range(len(self.dataset)))
         if self.shuffle_subjects:
             random.shuffle(order)
         return _PrefetchIterator(self.dataset, order, self.num_workers,
-                                 use_processes=self.use_processes)
+                                 use_processes=self.use_processes,
+                                 pool=self._get_pool())
 
     def __iter__(self) -> Iterator[Subject]:
         buffer: List[Subject] = []

@@ -113,12 +113,14 @@ class WandbLogger(Logger):
         kwargs["dir"] = self.save_folder
 
         last_error = None
-        for _ in range(self.init_retries):
+        for attempt in range(self.init_retries):
             try:
                 self.run = wandb.init(**kwargs)
                 break
             except Exception as e:  # transient init failures: retry (ref :88-94)
                 last_error = e
+                if attempt + 1 >= self.init_retries:
+                    break  # no retry follows — don't announce one / sleep
                 print(f"wandb.init failed due to {e}\nRetrying...")
                 time.sleep(self.retry_delay)
         if self.run is None:

@@ -103,9 +103,23 @@ class EnsembleFlips:
         n = x.shape[0]
         stacked = jnp.concatenate(
             [jnp.flip(x, axis=flip) if flip else x for flip in self.flips], axis=0)
+        pad = 0
         if self.mesh is not None:
+            # GSPMD requires the folded batch divisible by the data-axis
+            # size; pad with wrapped member rows (results discarded below)
+            # so any (members x batch) works — e.g. 4 flip members of a
+            # trailing batch of 1 on an 8-device mesh
+            total = stacked.shape[0]
+            axis = ("data" if "data" in self.mesh.axis_names
+                    else self.mesh.axis_names[0])
+            pad = (-total) % self.mesh.shape[axis]
+            if pad:
+                wrap = jnp.take(stacked, jnp.arange(pad) % total, axis=0)
+                stacked = jnp.concatenate([stacked, wrap], axis=0)
             stacked = _shard_batch(stacked, self.mesh)
-        y_all = self.model(stacked)  # (E*N, C, ...)
+        y_all = self.model(stacked)  # (E*N [+pad], C, ...)
+        if pad:
+            y_all = y_all[:-pad]
         out = []
         for i, flip in enumerate(self.flips):
             y = y_all[i * n:(i + 1) * n]

@@ -286,8 +286,18 @@ class PatchPredict(Predictor):
                     self._effective_patch_batch = batch_size
                     return y
                 except Exception as e:  # noqa: BLE001 — filtered below
+                    # only genuine device/compiler exhaustion enters the
+                    # halving loop: it must be the runtime's own error type
+                    # (XlaRuntimeError / JaxRuntimeError), not any exception
+                    # whose text merely mentions memory (host MemoryError,
+                    # tunnel errors quoting device logs, ...)
+                    runtime_err = (
+                        type(e).__name__ in ("XlaRuntimeError",
+                                             "JaxRuntimeError")
+                        or isinstance(e, getattr(_jax.errors,
+                                                 "JaxRuntimeError", ())))
                     msg = str(e)
-                    resource = any(tag in msg for tag in (
+                    resource = runtime_err and any(tag in msg for tag in (
                         "RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
                         "OOM", "tpu_compile_helper", "remote_compile"))
                     if batch_size <= 1 or not resource:

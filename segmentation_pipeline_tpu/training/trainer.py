@@ -257,10 +257,9 @@ class SegmentationTrainer:
                 x_np_dtype = dt
 
         def _maybe_compact_y(y_cf):
-            is_onehot = (y_cf.shape[1] > 1 and y_cf.shape[1] <= 255
-                         and np.all((y_cf == 0) | (y_cf == 1))
-                         and np.all(y_cf.sum(axis=1) == 1))
-            if is_onehot:
+            from ..data.device_cache import is_exact_onehot
+
+            if is_exact_onehot(y_cf, axis=1):
                 compact_state["n_classes"] = int(y_cf.shape[1])
                 return np.argmax(y_cf, axis=1).astype(np.uint8)
             return y_cf
@@ -561,7 +560,26 @@ class SegmentationTrainer:
             # Duck-typed loggers (tests) may not define close().
             close = getattr(logger, "close", None)
             if close is not None:
-                close()
+                import sys
+
+                # inside a finally during exception propagation, exc_info()
+                # is the in-flight exception; inside the except below it
+                # would be the close failure — so sample it here
+                unwinding = sys.exc_info()[0] is not None
+                try:
+                    close()
+                except Exception:
+                    if not unwinding:
+                        # clean exit: a failed drain means the exit checkpoint
+                        # may not be durable — that IS the train() outcome
+                        raise
+                    # error path: never mask the real training exception with
+                    # a logging-teardown failure
+                    import traceback
+
+                    print("Warning: logger close failed while handling an "
+                          "earlier error:", flush=True)
+                    traceback.print_exc()
 
     def get_filter_from_scheduled_evaluations(self, dataset, scheduled_evaluations):
         from ..data.subject_filters import AnyFilter, RequireAttributes

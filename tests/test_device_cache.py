@@ -254,8 +254,12 @@ class TestPatchBatchDegrade:
                   **kw):
             calls.append(patch_batch)
             if patch_batch > 2:
-                raise RuntimeError("RESOURCE_EXHAUSTED: Attempting to "
-                                   "allocate 21.37G")
+                import jax
+
+                # the degrade loop only engages on the runtime's own error
+                # type, not on arbitrary exceptions mentioning memory
+                raise jax.errors.JaxRuntimeError(
+                    "RESOURCE_EXHAUSTED: Attempting to allocate 21.37G")
             return real(volume, model_fn, patch_size=patch_size,
                         patch_overlap=patch_overlap, patch_batch=patch_batch,
                         **kw)
@@ -296,4 +300,25 @@ class TestPatchBatchDegrade:
         pred = sp.PatchPredict(image_names=["X"], patch_size=(8, 8, 8),
                                patch_batch_size=8)
         with pytest.raises(RuntimeError, match="genuine bug"):
+            pred.predict(model, [s])
+
+    def test_memory_wording_in_foreign_errors_still_raises(self, monkeypatch):
+        """A non-runtime exception whose text merely mentions memory (host
+        MemoryError, tunnel error quoting a device log) must raise, not
+        enter the halving loop."""
+        import segmentation_pipeline_tpu.prediction as prediction_mod
+        from segmentation_pipeline_tpu.core.subject import ScalarImage, Subject
+
+        def host_oom(*a, **kw):
+            raise RuntimeError("np.stack failed: out of memory on host")
+
+        monkeypatch.setattr(prediction_mod, "sliding_window_inference",
+                            host_oom)
+        model = sp.SegModel(sp.NestedResUNet(input_channels=1,
+                                             output_channels=2, filters=4))
+        s = Subject(name="s0", folder="/tmp")
+        s["X"] = ScalarImage(tensor=np.zeros((1, 16, 16, 8), np.float32))
+        pred = sp.PatchPredict(image_names=["X"], patch_size=(8, 8, 8),
+                               patch_batch_size=8)
+        with pytest.raises(RuntimeError, match="on host"):
             pred.predict(model, [s])

@@ -147,3 +147,25 @@ class TestBatchedShardedTTA:
         ref = np.asarray(EnsembleOrientations(seg_model, "mean")(x))
         fused = np.asarray(EnsembleOrientations(seg_model, "mean", batched=True)(x))
         np.testing.assert_allclose(fused, ref, atol=1e-5)
+
+    def test_mesh_sharded_flips_indivisible_members(self, seg_model, x):
+        """(members x batch) not divisible by the mesh axis must pad-and-run,
+        not crash: 2 spatial dims -> 4 flip members of a batch of 1 on the
+        8-device mesh (the hippo_inference --tta_mesh trailing-batch case)."""
+        from segmentation_pipeline_tpu.models.ensemble import EnsembleFlips
+        from segmentation_pipeline_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        ref = np.asarray(EnsembleFlips(seg_model, "mean",
+                                       spatial_dims=(3, 4))(x))
+        sharded = np.asarray(EnsembleFlips(seg_model, "mean",
+                                           spatial_dims=(3, 4), mesh=mesh)(x))
+        np.testing.assert_allclose(sharded, ref, atol=1e-5)
+
+        # odd batch: 3 subjects x 4 members = 12, not divisible by 8
+        x3 = np.concatenate([x, x * 0.5, x * 2.0], axis=0)
+        ref3 = np.asarray(EnsembleFlips(seg_model, "mean",
+                                        spatial_dims=(3, 4))(x3))
+        sharded3 = np.asarray(EnsembleFlips(seg_model, "mean",
+                                            spatial_dims=(3, 4), mesh=mesh)(x3))
+        np.testing.assert_allclose(sharded3, ref3, atol=1e-5)
