@@ -106,9 +106,9 @@ def random_flip(key, x, y, axes=(0, 1, 2), flip_probability=0.5):
     return x, y
 
 
-def random_affine_warp(key, x, y, scales=0.2, degrees=45.0, pad_value=0.0):
-    """Random rotation+scale about the volume center (tio.RandomAffine
-    semantics: scale U(1-s, 1+s), angles U(-d, d) per axis)."""
+def draw_affine_matrix(key, scales=0.2, degrees=45.0):
+    """Sample the random rotation+scale matrix (tio.RandomAffine semantics:
+    scale U(1-s, 1+s), angles U(-d, d) per axis; A = Rx Ry Rz diag(scale))."""
     k1, k2 = jax.random.split(key)
     scale = jax.random.uniform(k1, (3,), minval=1 - scales, maxval=1 + scales)
     angles = jnp.deg2rad(jax.random.uniform(k2, (3,), minval=-degrees,
@@ -118,7 +118,22 @@ def random_affine_warp(key, x, y, scales=0.2, degrees=45.0, pad_value=0.0):
     Rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
     Ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
     Rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
-    A = Rx @ Ry @ Rz @ jnp.diag(scale)
+    return Rx @ Ry @ Rz @ jnp.diag(scale)
+
+
+def _label_background(y):
+    """Fill vector for out-of-bounds label voxels: background class for
+    one-hot labels (all-zero vectors would un-supervise those voxels); a
+    single-channel label is a binary/int mask whose background is 0."""
+    if y.shape[-1] == 1:
+        return jnp.zeros((1,), y.dtype)
+    return jnp.zeros((y.shape[-1],), y.dtype).at[0].set(1.0)
+
+
+def random_affine_warp(key, x, y, scales=0.2, degrees=45.0, pad_value=0.0):
+    """Random rotation+scale about the volume center — direct trilinear
+    (gather) method; see _affine_stage for the batched shear fast path."""
+    A = draw_affine_matrix(key, scales, degrees)
 
     spatial = x.shape[:3]
     center = (jnp.array(spatial, jnp.float32) - 1) / 2
@@ -134,17 +149,82 @@ def random_affine_warp(key, x, y, scales=0.2, degrees=45.0, pad_value=0.0):
     y_out = None
     if y is not None:
         y_out = trilinear_sample(y, warped, nearest=True)
-        # out-of-bounds label voxels become BACKGROUND, keeping one-hot
-        # targets valid (all-zero vectors would un-supervise those voxels);
-        # a single-channel label is a binary/int mask whose background is 0,
-        # NOT a one-hot channel — setting it to 1 would paint a foreground
-        # frame around rotated volumes
-        if y.shape[-1] == 1:
-            background = jnp.zeros((1,), y.dtype)
-        else:
-            background = jnp.zeros((y.shape[-1],), y.dtype).at[0].set(1.0)
-        y_out = jnp.where(oob[..., None], background, y_out)
+        y_out = jnp.where(oob[..., None], _label_background(y), y_out)
     return x_out, y_out
+
+
+def _affine_coords_oob(A, spatial, dtype=jnp.float32):
+    """Per-sample analytic warp coords (3, W, H, D) and out-of-bounds mask
+    as fused broadcast sums: coord_i = A[i,0] w + A[i,1] h + A[i,2] d + t_i
+    about the volume center."""
+    W, H, D = spatial
+    sp = jnp.array([W, H, D], dtype)
+    center = (sp - 1) / 2
+    t = center - A @ center
+    aw = jnp.arange(W, dtype=dtype)[:, None, None]
+    ah = jnp.arange(H, dtype=dtype)[None, :, None]
+    ad = jnp.arange(D, dtype=dtype)[None, None, :]
+    cs = [A[i, 0] * aw + A[i, 1] * ah + A[i, 2] * ad + t[i] for i in range(3)]
+    oob = ((cs[0] < 0) | (cs[0] > W - 1) | (cs[1] < 0) | (cs[1] > H - 1)
+           | (cs[2] < 0) | (cs[2] > D - 1))
+    return jnp.stack(cs), oob
+
+
+def _affine_stage(do, A, X, y, pad_value=0.0, batching="map"):
+    """Batched affine warp stage (direct trilinear gather).
+
+    batching picks how the per-sample warp maps over the batch:
+    "map" (default) runs the samples through lax.map, keeping every
+    gather UNBATCHED — XLA lowers a vmapped (batched-index) gather ~2.4x
+    slower than the same gathers issued per sample on v5e (252 vs ~105 ms
+    at batch 4, 96^3x2 f32; benchmarks/bench_warp_gather.py), and the
+    warp dominates the fused augmentation, so the map form is the fast
+    path.  "vmap" keeps the classic batched lowering (same results).
+
+    Samples with do=False warp by the identity and are select-restored.
+
+    CLOSED investigation (see benchmarks/bench_warp_gather.py and
+    PARITY.md): a shear-decomposed warp (LDU / 9-shear passes of per-row
+    window slices — a Pallas row kernel reached 2.3 ms/pass vs 17.7 ms
+    for the XLA row gather) is 5-8x cheaper per pass, but at the
+    reference's augmentation domain (scales 0.2, degrees 45,
+    ref research/msseg2/msseg2.py:49) the intermediate passes read up to
+    +/-175 voxels outside the 96^3 box for voxels whose FINAL coords are
+    in-bounds, so correct multi-pass warping needs ~15x larger
+    intermediate volumes — infeasible.  Exact per-voxel trilinear it is.
+    """
+    spatial = X.shape[1:4]
+    eye = jnp.eye(3, dtype=A.dtype)
+    A_eff = jnp.where(do[:, None, None], A, eye)
+
+    def warp_one(a, xx, yy):
+        coords, ob = _affine_coords_oob(a, spatial, X.dtype)
+        x_out = jnp.where(ob[..., None], pad_value,
+                          trilinear_sample(xx, coords))
+        if yy is None:
+            return x_out, None
+        y_out = trilinear_sample(yy, coords, nearest=True)
+        return x_out, jnp.where(ob[..., None], _label_background(yy), y_out)
+
+    if batching == "map":
+        if y is None:
+            Xw = lax.map(lambda av: warp_one(av[0], av[1], None)[0],
+                         (A_eff, X))
+            yw = None
+        else:
+            Xw, yw = lax.map(lambda av: warp_one(*av), (A_eff, X, y))
+    else:
+        if y is None:
+            Xw = jax.vmap(lambda a, xx: warp_one(a, xx, None)[0])(A_eff, X)
+            yw = None
+        else:
+            Xw, yw = jax.vmap(warp_one)(A_eff, X, y)
+
+    sel = do[:, None, None, None, None]
+    X = jnp.where(sel, Xw, X)
+    if y is not None:
+        y = jnp.where(sel, yw, y)
+    return X, y
 
 
 def random_elastic_warp(key, x, y, num_control_points=(7, 7, 7),
@@ -225,6 +305,7 @@ def rescale_intensity(x, out_min=-1.0, out_max=1.0,
 DEFAULT_CONFIG = dict(
     flip_axes=(0, 1, 2),
     affine_p=0.6, affine_scales=0.2, affine_degrees=45.0,
+    affine_batching="map",
     elastic_p=0.0, elastic_max_displacement=7.5,
     bias_p=0.5, bias_coefficients=0.5,
     gamma_p=0.8, log_gamma=(-0.3, 0.3),
@@ -233,20 +314,15 @@ DEFAULT_CONFIG = dict(
 )
 
 
-def _augment_one(key, x, y, cfg: Dict):
-    # independent keys for every apply-decision AND every parameter draw:
-    # reusing a decision key for the draw would truncate and correlate the
-    # conditional distributions
-    keys = jax.random.split(key, 11)
-    x, y = random_flip(keys[0], x, y, axes=cfg["flip_axes"])
+def _augment_pre(keys, x, y, cfg: Dict):
+    """Per-sample stage before the (batched) affine warp: flips."""
+    return random_flip(keys[0], x, y, axes=cfg["flip_axes"])
 
-    if cfg["affine_p"] > 0:
-        do = jax.random.uniform(keys[1]) < cfg["affine_p"]
-        x2, y2 = random_affine_warp(keys[2], x, y, cfg["affine_scales"],
-                                    cfg["affine_degrees"])
-        x = jnp.where(do, x2, x)
-        y = jnp.where(do, y2, y) if y is not None else None
 
+def _augment_post(keys, x, y, cfg: Dict):
+    """Per-sample stage after the affine warp: elastic, bias, gamma, noise,
+    rescale — key indices match the original 11-way split so per-op random
+    streams are unchanged by the staging."""
     if cfg["elastic_p"] > 0:
         do = jax.random.uniform(keys[3]) < cfg["elastic_p"]
         x2, y2 = random_elastic_warp(keys[4], x, y,
@@ -275,11 +351,26 @@ def _augment_one(key, x, y, cfg: Dict):
 @partial(jax.jit, static_argnames=("config_items",))
 def _augment_batch_jit(key, X, y, config_items):
     cfg = dict(config_items)
-    keys = jax.random.split(key, X.shape[0])
+    sample_keys = jax.random.split(key, X.shape[0])
+    keys = jax.vmap(lambda k: jax.random.split(k, 11))(sample_keys)
+
     if y is None:
-        fn = lambda k, x: _augment_one(k, x, None, cfg)[0]  # noqa: E731
-        return jax.vmap(fn)(keys, X), None
-    return jax.vmap(lambda k, x, t: _augment_one(k, x, t, cfg))(keys, X, y)
+        X, _ = jax.vmap(lambda k, x: _augment_pre(k, x, None, cfg))(keys, X)
+    else:
+        X, y = jax.vmap(lambda k, x, t: _augment_pre(k, x, t, cfg))(keys, X, y)
+
+    if cfg["affine_p"] > 0:
+        do = jax.vmap(lambda k: jax.random.uniform(k[1]))(keys) \
+            < cfg["affine_p"]
+        A = jax.vmap(lambda k: draw_affine_matrix(
+            k[2], cfg["affine_scales"], cfg["affine_degrees"]))(keys)
+        X, y = _affine_stage(do, A, X, y,
+                             batching=cfg.get("affine_batching", "map"))
+
+    if y is None:
+        X, _ = jax.vmap(lambda k, x: _augment_post(k, x, None, cfg))(keys, X)
+        return X, None
+    return jax.vmap(lambda k, x, t: _augment_post(k, x, t, cfg))(keys, X, y)
 
 
 def augment_batch(key, X: jnp.ndarray, y: Optional[jnp.ndarray] = None,
