@@ -164,25 +164,45 @@ class RandomElasticDeformation(RandomTransform, SpatialTransform):
         return grid
 
     @staticmethod
+    def _bspline_matrix(n_cp: int, size: int) -> np.ndarray:
+        """(size, n_cp) matrix of the 1D cubic-B-spline interpolation operator
+        (prefilter + basis, mode='nearest') evaluated at the dense positions
+        linspace(0, n_cp-1, size).  map_coordinates is linear in its input,
+        so the matrix built from basis vectors reproduces it exactly."""
+        pos = np.linspace(0, n_cp - 1, size, dtype=np.float64)[None]
+        eye = np.eye(n_cp, dtype=np.float64)
+        cols = [ndi.map_coordinates(eye[j], pos, order=3, mode="nearest")
+                for j in range(n_cp)]
+        return np.stack(cols, axis=1).astype(np.float32)
+
+    @staticmethod
     def dense_field(control_grid: np.ndarray, spatial_shape: Tuple[int, int, int]) -> np.ndarray:
         """Upsample the (3, cw, ch, cd) control grid to (3, W, H, D) with
-        cubic b-spline interpolation. Control points span the image extent."""
-        out = np.empty((3, *spatial_shape), dtype=np.float32)
+        cubic b-spline interpolation. Control points span the image extent.
+
+        Tensor-grid B-spline interpolation is separable (prefilter and basis
+        both factor per axis), so instead of a generic map_coordinates over
+        W*H*D points (~1.4 s/axis at 160x192x160) this contracts the control
+        grid with three small (S, n_cp) basis matrices (~milliseconds) —
+        bit-equal to the map_coordinates result up to fp association."""
         cp = control_grid.shape[1:]
-        coords = np.meshgrid(*[
-            np.linspace(0, c - 1, s, dtype=np.float32) for c, s in zip(cp, spatial_shape)
-        ], indexing="ij")
-        coords = np.stack(coords)
-        for axis in range(3):
-            out[axis] = ndi.map_coordinates(control_grid[axis], coords, order=3, mode="nearest")
-        return out
+        Ms = [RandomElasticDeformation._bspline_matrix(c, s)
+              for c, s in zip(cp, spatial_shape)]
+        out = np.einsum("aijk,wi->awjk", control_grid.astype(np.float32), Ms[0])
+        out = np.einsum("awjk,hj->awhk", out, Ms[1])
+        out = np.einsum("awhk,dk->awhd", out, Ms[2])
+        return np.ascontiguousarray(out, dtype=np.float32)
 
     def apply_transform(self, subject):
         control_grid = self.sample_control_grid()
+        field_cache = {}  # per spatial shape: all images usually share one
         for image in self.get_images(subject):
             data = np.asarray(image.data)
             spatial = data.shape[1:]
-            field_mm = self.dense_field(control_grid, spatial)
+            field_mm = field_cache.get(spatial)
+            if field_mm is None:
+                field_mm = field_cache[spatial] = self.dense_field(
+                    control_grid, spatial)
             spacing = np.array(image.spacing, dtype=np.float32)
             field_vox = field_mm / spacing[:, None, None, None]
 
