@@ -81,3 +81,46 @@ def test_random_pipeline_roundtrip(seed):
     inner = (slice(None),) + (slice(*BLOB),) * 3
     np.testing.assert_allclose(np.asarray(subject["img"].data)[inner],
                                original_img[inner], atol=1e-5)
+
+
+class TestEvalSpaceInversionFuzz:
+    """add_evaluation_labels must map y_pred and y through the SAME
+    label-only inverse: for a fabricated y_pred identical to y, the eval
+    images must come out identical for any random pipeline."""
+
+    @pytest.mark.parametrize("seed", range(10))
+    def test_pred_and_target_land_in_same_space(self, seed):
+        import copy
+
+        from segmentation_pipeline_tpu.prediction import add_evaluation_labels
+        from segmentation_pipeline_tpu.transforms import (
+            CustomOneHot,
+            RandomNoise,
+            RenameProperty,
+            RescaleIntensity,
+        )
+
+        rng = np.random.default_rng(100 + seed)
+        ops = [random_op(rng) for _ in range(int(rng.integers(1, 4)))]
+        pipeline = Compose(ops + [
+            RescaleIntensity((-1, 1)),
+            RandomNoise(std=(0.05, 0.05)),
+            RenameProperty(old_name="seg", new_name="y"),
+            CustomOneHot(include=["y"]),
+        ])
+        subject = make_subject(200 + seed)
+        pipeline(subject)
+
+        subject["y_pred"] = copy.deepcopy(subject["y"])
+        add_evaluation_labels([subject])
+        assert "y_eval" in subject and "y_pred_eval" in subject
+        y_eval = np.asarray(subject["y_eval"].data)
+        y_pred_eval = np.asarray(subject["y_pred_eval"].data)
+        np.testing.assert_array_equal(y_pred_eval, y_eval)
+        # eval space is the TRANSFORMED (post-geometry) space: only the
+        # label-ENCODING transforms invert (ref prediction.py:155-170), so
+        # y_eval must be the integer ids of the one-hot y, same grid
+        y = np.asarray(subject["y"].data)
+        assert y_eval.shape[1:] == y.shape[1:]
+        got_ids = y_eval[0] if y_eval.shape[0] == 1 else np.argmax(y_eval, 0)
+        np.testing.assert_array_equal(got_ids, np.argmax(y, axis=0))
