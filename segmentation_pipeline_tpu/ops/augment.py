@@ -131,8 +131,8 @@ def _label_background(y):
 
 
 def random_affine_warp(key, x, y, scales=0.2, degrees=45.0, pad_value=0.0):
-    """Random rotation+scale about the volume center — direct trilinear
-    (gather) method; see _affine_stage for the batched shear fast path."""
+    """Random rotation+scale about the volume center — per-sample direct
+    trilinear warp; the fused pipeline uses the batched _affine_stage."""
     A = draw_affine_matrix(key, scales, degrees)
 
     spatial = x.shape[:3]
@@ -241,8 +241,9 @@ def random_elastic_warp(key, x, y, num_control_points=(7, 7, 7),
         mask = mask.at[lb:-lb, lb:-lb, lb:-lb].set(True)
         grid = grid * mask[None]
 
-    # upsample control grid to dense field with two-stage linear resize
-    # (smooth enough for augmentation; exact b-spline lives on the host path)
+    # upsample control grid to a dense field with jax.image cubic resize
+    # (keys/kernel differ from the host path's exact B-spline — the device
+    # augmentation contract is distributional)
     field = jax.image.resize(grid, (3, *spatial), method="cubic")
     coords = _identity_coords(spatial) + field
 
