@@ -179,7 +179,12 @@ def _affine_stage(do, A, X, y, pad_value=0.0, batching="map"):
     slower than the same gathers issued per sample on v5e (252 vs ~105 ms
     at batch 4, 96^3x2 f32; benchmarks/bench_warp_gather.py), and the
     warp dominates the fused augmentation, so the map form is the fast
-    path.  "vmap" keeps the classic batched lowering (same results).
+    path ON ONE DEVICE.  "vmap" keeps the classic batched lowering (same
+    results) — REQUIRED when the batch axis is sharded over a mesh: a
+    lax.map scan over a sharded axis serializes the devices, while the
+    per-device sub-batches under vmap are small enough that the batched
+    lowering penalty mostly vanishes (the trainer picks per-mesh
+    automatically).
 
     Samples with do=False warp by the identity and are select-restored.
 

@@ -428,10 +428,21 @@ class SegmentationTrainer:
                 if self.device_augmentation is not None:
                     from ..ops.augment import augment_batch
 
+                    aug_cfg = dict(self.device_augmentation)
+                    if "affine_batching" not in aug_cfg:
+                        # lax.map keeps the warp's gathers unbatched (2.4x on
+                        # one chip, PARITY.md) but a scan over a SHARDED
+                        # batch axis would serialize devices; sharded meshes
+                        # keep vmap (per-device sub-batches are small, so the
+                        # batched-gather penalty mostly vanishes anyway)
+                        data_sharded = (
+                            self.mesh is not None
+                            and self.mesh.shape.get("data", 1) > 1)
+                        aug_cfg["affine_batching"] = (
+                            "vmap" if data_sharded else "map")
                     rng, aug_rng = jax.random.split(rng)
                     batch["X"], batch["y"] = augment_batch(
-                        aug_rng, batch["X"], batch["y"],
-                        config=self.device_augmentation)
+                        aug_rng, batch["X"], batch["y"], config=aug_cfg)
                 rng, step_rng = jax.random.split(rng)
                 self._train_state, loss_dict, y_pred_cl = train_step(
                     self._train_state, batch, step_rng)
