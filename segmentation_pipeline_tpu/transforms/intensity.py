@@ -118,6 +118,14 @@ class ZNormalization(IntensityTransform):
 
         for image in self.get_images(subject):
             data = np.asarray(image.data, dtype=np.float32)
+            if self.masking_method is None:
+                # no mask: moments over the full array without the
+                # volume-sized boolean-index copy
+                mean, std = float(data.mean()), float(data.std())
+                if std < 1e-12:
+                    std = 1.0
+                image.set_data((data - mean) / std)
+                continue
             mask = get_mask_from_masking_method(self.masking_method, subject, data)
             values = data[mask]
             if values.size == 0:
