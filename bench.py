@@ -3,11 +3,16 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: full fused train step (forward + hybrid logistic/Dice loss +
-backward + Adam update) of NestedResUNet(3->2, filters=40, dropout 0.2) on
-batch 4 whole volumes 96x88x24 — the reference's canonical training config
-(ref main_config.py:23,80,123-127).  vs_baseline compares against the
-torch-CPU reference stack measured fresh on this machine
-(BASELINE_MEASURED.json; the reference publishes no numbers, BASELINE.md).
+backward + Adam update) of NestedResUNet(3->2, filters=40, dropout 0.2) at
+the reference config's ACTUAL training shape: StandardPredict with
+sagittal_split=True halves each volume along W and stacks the flipped
+hemispheres into the batch (ref prediction.py:16-27, main_config.py:182-183)
+-> batch 8 half-volumes 48x88x24x3. volumes/sec counts WHOLE volumes
+(2 halves each). BENCH_SPLIT=0 measures the unsplit batch 4 x 96x88x24
+shape instead (same total voxels/step; ref main_config.py:23,80,123-127).
+vs_baseline compares against the torch-CPU reference stack measured fresh
+at the SAME shape on this machine (BASELINE_MEASURED.json; the reference
+publishes no numbers, BASELINE.md).
 """
 import json
 import os
@@ -30,14 +35,18 @@ def main():
         make_train_step,
     )
 
-    batch = 4
+    # Default: the sagittal-split shape the reference config actually trains
+    # at (see module docstring). BENCH_SPLIT=0 -> unsplit batch 4 x 96x88x24.
+    split = os.environ.get("BENCH_SPLIT", "1") == "1"
+    batch = 8 if split else 4
+    shape = (48, 88, 24) if split else (96, 88, 24)
     model = SegModel(NestedResUNet(input_channels=3, output_channels=2,
                                    filters=40, dropout_p=0.2))
     criterion = HybridLogisticDiceLoss()
     optimizer = Adam(lr=2e-4)
 
     rng_np = np.random.default_rng(0)
-    X = rng_np.normal(size=(batch, 3, 96, 88, 24)).astype(np.float32)
+    X = rng_np.normal(size=(batch, 3, *shape)).astype(np.float32)
     lab = (X[:, 0] > 0.5).astype(np.float32)
     y = np.stack([1 - lab, lab], axis=1)
     batch_cf = {"X": X, "y": y}
@@ -79,15 +88,26 @@ def main():
     float(chain_jit(1, fresh()))  # forced fetch serializes the whole chain
     dt = time.time() - t0
 
-    volumes_per_sec = n_steps * batch / dt
+    volumes_per_sec = n_steps * batch / dt / (2.0 if split else 1.0)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
     with open(baseline_path) as f:
-        baseline = json.load(f)["torch_cpu_train_volumes_per_sec"]
+        bj = json.load(f)
+    # Compare against torch-CPU's BEST throughput at this voxel count:
+    # torch is ~4x slower at the split shape (0.0124 vs 0.049 vol/s), so
+    # using the unsplit torch number keeps vs_baseline conservative.
+    baseline = bj["torch_cpu_train_volumes_per_sec"]
+    if split:
+        baseline = max(baseline,
+                       bj.get("torch_cpu_train_split_volumes_per_sec", 0.0))
 
+    metric = ("dmri_hippo 3D U-Net train throughput (sagittal split: batch 8 "
+              "half-volumes 48x88x24x3, full fwd+loss+bwd+Adam)" if split else
+              "dmri_hippo 3D U-Net train throughput (batch 4, 96x88x24x3, "
+              "full fwd+loss+bwd+Adam)")
     print(json.dumps({
-        "metric": "dmri_hippo 3D U-Net train throughput (batch 4, 96x88x24x3, full fwd+loss+bwd+Adam)",
+        "metric": metric,
         "value": round(volumes_per_sec, 3),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(volumes_per_sec / baseline, 1),
