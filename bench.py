@@ -140,7 +140,8 @@ def msseg2_bench():
     criterion = HybridLogisticDiceLoss(logistic_class_weights=[1, 100])
     optimizer = SGD(lr=0.001, momentum=0.95)
     rng_np = np.random.default_rng(0)
-    X = rng_np.normal(size=(4, 2, 96, 96, 96)).astype(np.float32)
+    pbatch = int(os.environ.get("BENCH_BATCH", "4"))  # ref msseg2.py:153
+    X = rng_np.normal(size=(pbatch, 2, 96, 96, 96)).astype(np.float32)
     lab = (X[:, 0] > 0.5).astype(np.float32)
     y = np.stack([1 - lab, lab], axis=1)
     batch_cf = {"X": X, "y": y}
@@ -175,14 +176,15 @@ def msseg2_bench():
     t0 = time.time()
     float(chain_jit(1, fresh()))
     dt = time.time() - t0
-    pps = n_steps * 4 / dt
+    pps = n_steps * pbatch / dt
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
     with open(baseline_path) as f:
         baseline = json.load(f).get("torch_cpu_msseg2_patches_per_sec")
     print(json.dumps({
-        "metric": "msseg2 patch train throughput (batch 4, 96^3x2ch, depth-6 BlurConv UNet, remat)",
+        "metric": ("msseg2 patch train throughput (batch %d, 96^3x2ch, "
+                   "depth-6 BlurConv UNet, remat)" % pbatch),
         "value": round(pps, 3),
         "unit": "patches/sec/chip",
         "vs_baseline": round(pps / baseline, 1) if baseline else None,

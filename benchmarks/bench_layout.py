@@ -20,7 +20,10 @@ Run: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/bench_layout.py
 """
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +44,9 @@ SHAPES = {
     "split_permWD": (8, 24, 88, 48),
     "half": (4, 48, 88, 24),
     "batch8": (8, 96, 88, 24),
+    # does the batch-sublane win keep climbing past 8?
+    "split16": (16, 48, 88, 24),
+    "split32": (32, 48, 88, 24),
 }
 
 
@@ -90,10 +96,32 @@ def run_one(name, shape, n_steps, compute_dtype=None):
 def main():
     n_steps = int(os.environ.get("BENCH_STEPS", "30"))
     only = os.environ.get("VARIANTS")
-    for name, shape in SHAPES.items():
-        if only and name not in only.split(","):
-            continue
-        run_one(name, shape, n_steps)
+    dtype = os.environ.get("DTYPE") or None  # e.g. DTYPE=bfloat16
+    names = [n for n in SHAPES if not only or n in only.split(",")]
+    if os.environ.get("BENCH_INPROC") == "1":
+        for name in names:
+            run_one(name if not dtype else f"{name}[{dtype}]", SHAPES[name],
+                    n_steps, compute_dtype=dtype)
+        return
+    # Default: one timeout-bounded subprocess per variant. A pathological
+    # compile of one experimental shape can hang the whole backend (see
+    # CLAUDE.md rig quirks); isolating variants keeps the rest of the sweep
+    # alive and bounds the damage.
+    import subprocess
+    import sys
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["BENCH_INPROC"] = "1"
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    budget = int(os.environ.get("BENCH_TIMEOUT", "900"))
+    for name in names:
+        env["VARIANTS"] = name
+        try:
+            subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, timeout=budget, check=False)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"variant": name, "error": "timeout",
+                              "seconds": budget}), flush=True)
 
 
 if __name__ == "__main__":

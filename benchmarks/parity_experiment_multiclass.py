@@ -84,47 +84,11 @@ print(f"ours (jax): val mean multiclass dice {ours_dice:.4f}  "
 
 # ---------------- torch reference ----------------
 import torch  # noqa: E402
-from torch import nn  # noqa: E402
+
+from torch_models import NestedResUNet as TorchNet  # shared torch mirror
 
 torch.manual_seed(0)
-
-class Block(nn.Module):
-    def __init__(self, i, o, residual=False):
-        super().__init__()
-        self.conv1 = nn.Conv3d(i, o, 3, padding=1, bias=False)
-        self.bn1 = nn.BatchNorm3d(o)
-        self.conv2 = nn.Conv3d(o, o, 3, padding=1, bias=False)
-        self.bn2 = nn.BatchNorm3d(o)
-        self.res = nn.Conv3d(i, o, 3, padding=1) if residual else None
-
-    def forward(self, x):
-        h = torch.relu(self.bn1(self.conv1(x)))
-        h = torch.relu(self.bn2(self.conv2(h)))
-        return h + self.res(x) if self.res is not None else h
-
-class Net(nn.Module):
-    def __init__(self, cin=1, cout=N_CLASSES, f=8):
-        super().__init__()
-        self.down = nn.AvgPool3d(2, 2, count_include_pad=False)
-        self.up = nn.Upsample(scale_factor=2, mode="trilinear",
-                              align_corners=True)
-        B = Block
-        self.c00 = B(cin, f, True); self.c10 = B(f, f); self.c01 = B(2*f, f, True)
-        self.c20 = B(f, f); self.c11 = B(3*f, f); self.c02 = B(2*f, f, True)
-        self.c30 = B(f, f); self.c21 = B(3*f, f); self.c12 = B(3*f, f)
-        self.c03 = B(2*f, f, True)
-        self.out = nn.Conv3d(f, cout, 3, padding=1)
-
-    def forward(self, x):
-        d, u, cat = self.down, self.up, lambda *t: torch.cat(t, 1)
-        x00 = self.c00(x); x10 = self.c10(d(x00)); x01 = self.c01(cat(x00, u(x10)))
-        x20 = self.c20(d(x10)); x11 = self.c11(cat(x10, u(x20), d(x01)))
-        x02 = self.c02(cat(x01, u(x11)))
-        x30 = self.c30(d(x20)); x21 = self.c21(cat(x20, u(x30), d(x11)))
-        x12 = self.c12(cat(x11, u(x21), d(x02))); x03 = self.c03(cat(x02, u(x12)))
-        return torch.softmax(self.out(x03), 1)
-
-net = Net()
+net = TorchNet(1, N_CLASSES, f=8)
 topt = torch.optim.Adam(net.parameters(), lr=LR)
 Xt = torch.from_numpy(Xtr); yt = torch.from_numpy(ytr)
 t0 = time.time()

@@ -132,23 +132,16 @@ def _label_background(y):
 
 def random_affine_warp(key, x, y, scales=0.2, degrees=45.0, pad_value=0.0):
     """Random rotation+scale about the volume center — per-sample direct
-    trilinear warp; the fused pipeline uses the batched _affine_stage."""
+    trilinear warp.  Shares its coordinate math (_affine_coords_oob) with
+    the fused pipeline's batched _affine_stage, so the public per-sample op
+    and the fused path cannot drift."""
     A = draw_affine_matrix(key, scales, degrees)
-
-    spatial = x.shape[:3]
-    center = (jnp.array(spatial, jnp.float32) - 1) / 2
-    coords = _identity_coords(spatial)  # (3, W, H, D)
-    rel = coords - center[:, None, None, None]
-    warped = jnp.einsum("ij,jwhd->iwhd", A, rel) + center[:, None, None, None]
-
-    x_out = trilinear_sample(x, warped)
-    # pad: out-of-bounds got edge-clamped; mask them to pad_value
-    oob = ((warped < 0) | (warped > (jnp.array(spatial, jnp.float32) - 1)[
-        :, None, None, None])).any(axis=0)
-    x_out = jnp.where(oob[..., None], pad_value, x_out)
+    coords, oob = _affine_coords_oob(A, x.shape[:3])
+    # out-of-bounds samples got edge-clamped; mask them to pad_value
+    x_out = jnp.where(oob[..., None], pad_value, trilinear_sample(x, coords))
     y_out = None
     if y is not None:
-        y_out = trilinear_sample(y, warped, nearest=True)
+        y_out = trilinear_sample(y, coords, nearest=True)
         y_out = jnp.where(oob[..., None], _label_background(y), y_out)
     return x_out, y_out
 

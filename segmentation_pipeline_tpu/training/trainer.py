@@ -534,7 +534,12 @@ class SegmentationTrainer:
                     logger.save_context(context, "checkpoints/", self.iteration)
                     timer.stamp("save_checkpoint")
 
-                if self.iteration % self.scoring_interval == 0:
+                # scoring_function=None disables scoring, best-checkpoint
+                # tracking, and score-based early stopping (the reference
+                # crashes on None, ref segmentation_trainer.py:250-251 —
+                # gating is the obvious contract).
+                if (self.scoring_function is not None
+                        and self.iteration % self.scoring_interval == 0):
                     new_score = float(self.scoring_function(log_dict))
                     log_dict["model_score"] = new_score
                     if new_score > self.max_score:
@@ -548,7 +553,8 @@ class SegmentationTrainer:
                 logger.log(log_dict)
 
                 iterations_with_no_improvement = self.iteration - self.max_score_iteration
-                if iterations_with_no_improvement > self.max_iterations_with_no_improvement:
+                if (self.scoring_function is not None and
+                        iterations_with_no_improvement > self.max_iterations_with_no_improvement):
                     print(f"Training stopped on iteration {self.iteration} due to not "
                           f"improving for {iterations_with_no_improvement} iterations.")
                     break

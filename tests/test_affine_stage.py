@@ -6,12 +6,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from segmentation_pipeline_tpu.ops.augment import (
-    _affine_coords_oob,
     _affine_stage,
     augment_batch,
     draw_affine_matrix,
     random_affine_warp,
-    trilinear_sample,
 )
 
 
@@ -41,20 +39,53 @@ class TestAffineStage:
         np.testing.assert_allclose(np.asarray(X2), np.asarray(x), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(y2), np.asarray(y))
 
-    def test_matches_per_sample_random_affine_warp(self):
-        """The batched stage samples the same coords as the per-sample
-        reference warp: feeding the same A must give identical output."""
+    @staticmethod
+    def _scipy_warp(x, A, pad=0.0):
+        """Independent oracle: center-relative affine resample via
+        scipy.ndimage.map_coordinates (order-1 = trilinear, mode='nearest'
+        = the same edge clamp), coords built with einsum over an explicit
+        identity grid — shares no code with _affine_coords_oob."""
+        from scipy.ndimage import map_coordinates
+
+        W, H, D, C = x.shape
+        sp = np.array([W, H, D], np.float64)
+        center = (sp - 1) / 2
+        grid = np.stack(np.meshgrid(np.arange(W), np.arange(H),
+                                    np.arange(D), indexing="ij")).astype(
+                                        np.float64)
+        rel = grid - center[:, None, None, None]
+        co = np.einsum("ij,jwhd->iwhd", np.asarray(A, np.float64),
+                       rel) + center[:, None, None, None]
+        oob = ((co < 0)
+               | (co > (sp - 1)[:, None, None, None])).any(axis=0)
+        out = np.stack([map_coordinates(np.asarray(x[..., c], np.float64),
+                                        co, order=1, mode="nearest")
+                        for c in range(C)], axis=-1)
+        return np.where(oob[..., None], pad, out)
+
+    def test_matches_independent_scipy_oracle(self):
+        """Both the batched stage AND the public per-sample op must match a
+        scipy map_coordinates oracle that shares no coordinate code with
+        either (guards against sign/center errors in _affine_coords_oob,
+        which both paths share)."""
         rng = np.random.default_rng(3)
         x = jnp.asarray(rng.normal(size=(2, 12, 10, 8, 2)).astype(np.float32))
         A = rand_A(4, 2)
         do = jnp.array([True, True])
         Xs, _ = _affine_stage(do, A, x, None)
         for b in range(2):
-            coords, oob = _affine_coords_oob(A[b], (12, 10, 8))
-            want = jnp.where(oob[..., None], 0.0,
-                             trilinear_sample(x[b], coords))
-            np.testing.assert_allclose(np.asarray(Xs[b]), np.asarray(want),
-                                       atol=1e-4)
+            want = self._scipy_warp(x[b], A[b])
+            np.testing.assert_allclose(np.asarray(Xs[b]), want, atol=1e-4)
+
+    def test_per_sample_op_matches_oracle(self):
+        key = jax.random.PRNGKey(11)
+        x = jnp.asarray(np.random.default_rng(8).normal(
+            size=(12, 10, 8, 2)).astype(np.float32))
+        got, _ = random_affine_warp(key, x, None, scales=0.2, degrees=45.0,
+                                    pad_value=-3.0)
+        A = draw_affine_matrix(key, 0.2, 45.0)  # the same matrix the op drew
+        want = self._scipy_warp(x, A, pad=-3.0)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
 
     def test_one_hot_labels_stay_valid_partition(self):
         rng = np.random.default_rng(5)

@@ -58,6 +58,28 @@ class TestDeviceAugmentation:
         assert all(np.isfinite(m["loss"]) for m in metrics)
 
 
+class TestNoScoringFunction:
+    def test_scoring_function_none_trains_without_scoring(self, tmp_path):
+        """scoring_function=None disables scoring/best-checkpoints/early
+        stop instead of crashing (the reference TypeErrors,
+        ref segmentation_trainer.py:250-251)."""
+        root = tmp_path / "ds"
+        logs = tmp_path / "logs"
+        build_dataset(root)
+        context = build_context(root, logs)
+        context.update_component(
+            "trainer", scoring_function=None,
+            max_iterations_with_no_improvement=1)  # must not early-stop
+        context.init_components()
+        logger = FileLogger(str(logs))
+        context.trainer.train(context, max_iterations=4, logger=logger)
+        assert context.trainer.iteration == 4
+        metrics = [json.loads(l) for l in open(logger.run_dir / "metrics.jsonl")]
+        assert len(metrics) == 4
+        assert all("model_score" not in m for m in metrics)
+        assert not (logger.run_dir / "best_checkpoints").exists()
+
+
 class TestCascadeConfig:
     def test_cascade_context_builds_and_steps(self, tmp_path):
         """Cascade experiment: prior predictions + StochasticMatrix C^2 head."""
