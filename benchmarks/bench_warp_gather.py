@@ -36,12 +36,17 @@ N_STEPS = 20
 
 
 def timed(name, chain_fn, *args):
+    import os
+    only = os.environ.get("ONLY")
+    if only and not any(tok in name for tok in only.split(",")):
+        return None
     fn = jax.jit(chain_fn)
     float(fn(0, *args))  # compile + warm
     t0 = time.time()
     float(fn(1, *args))
     dt = (time.time() - t0) / N_STEPS
-    print(json.dumps({"variant": name, "ms_per_call": round(dt * 1e3, 2)}))
+    print(json.dumps({"variant": name, "ms_per_call": round(dt * 1e3, 2)}),
+          flush=True)
     return dt
 
 
@@ -84,10 +89,11 @@ def main():
         def body(i, x):
             k = jax.random.fold_in(key, i)
             cs = warp_coords(k)
-            return jax.vmap(lambda xx: trilinear_sample(xx, cs,
-                                                        nearest=nearest))(x)
+            out = jax.vmap(lambda xx: trilinear_sample(xx, cs,
+                                                       nearest=nearest))(x)
+            return out.astype(x.dtype)  # keep the carry dtype stable
         v = lax.fori_loop(0, N_STEPS, body, v)
-        return v.sum()
+        return v.sum(dtype=jnp.float32)
 
     # --- rowslice: per-row L-window dynamic slice (shear-pass primitive) --
     def chain_rowslice(seed, v):
@@ -160,8 +166,8 @@ def main():
 
             def body(i, x):
                 k = jax.random.fold_in(key, i)
-                return fn(jax.random.split(k, BATCH), x)
-            return lax.fori_loop(0, N_STEPS, body, v).sum()
+                return fn(jax.random.split(k, BATCH), x).astype(x.dtype)
+            return lax.fori_loop(0, N_STEPS, body, v).sum(dtype=jnp.float32)
         return chain
 
     def vmap_warp(keys, x):
@@ -180,6 +186,14 @@ def main():
     timed("persample_vmap(x)", mk(vmap_warp), vol)
     timed("persample_unrolled(x)", mk(loop_warp), vol)
     timed("persample_laxmap(x)", mk(map_warp), vol)
+    # dtype levers: the gather is HBM-bound, so a half-width source may pay
+    timed("persample_laxmap(x, bf16 source)", mk(map_warp),
+          vol.astype(jnp.bfloat16))
+    timed("nearest_flat1(y, bf16 source)",
+          lambda s, v: chain_tri(s, v, True), vol.astype(jnp.bfloat16))
+    timed("nearest_flat1(y, uint8 source)",
+          lambda s, v: chain_tri(s, v, True),
+          (vol > 0).astype(jnp.uint8))
     timed("rowslice_gather", chain_rowslice, volp)
     timed("take_along_minor", chain_take_d, volp)
     timed("band_matmul", chain_band, volp)

@@ -37,7 +37,8 @@ def is_exact_onehot(y: np.ndarray, axis: int = 1) -> bool:
 
 class DeviceDataCache:
     def __init__(self, subjects: Sequence, x_dtype=None, mesh=None,
-                 data_axis: str = "data", max_bytes: int = 8 * 2 ** 30):
+                 data_axis: str = "data", max_bytes: int = 8 * 2 ** 30,
+                 expand_onehot: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -89,7 +90,7 @@ class DeviceDataCache:
         def gather(idx):
             xb = jnp.take(cache_X, idx, axis=0)
             yb = jnp.take(cache_y, idx, axis=0)
-            if is_onehot:
+            if is_onehot and expand_onehot:
                 yb = jax.nn.one_hot(yb, n_classes, dtype=jnp.float32)
             return {"X": xb, "y": yb}
 
@@ -100,7 +101,11 @@ class DeviceDataCache:
 
     def gather(self, indices):
         """indices: sequence of subject ids -> channels-last device batch
-        {'X': (N, W, H, D, C) storage dtype, 'y': (N, W, H, D, C) f32}."""
+        {'X': (N, W, H, D, C) storage dtype, 'y': (N, W, H, D, C) f32} —
+        with ``expand_onehot=False`` one-hot labels stay uint8 class ids
+        (N, W, H, D), the fast input form for the fused device augmentation
+        (ops/augment.py warps ids bit-identically and gathers Cx4 fewer
+        bytes); expand after augmenting via ``jax.nn.one_hot``."""
         import jax.numpy as jnp
 
         return self._gather(jnp.asarray(np.asarray(indices, np.int32)))
@@ -131,7 +136,8 @@ class DevicePatchCache:
     """
 
     def __init__(self, subjects: Sequence, sampler, x_dtype=None, mesh=None,
-                 data_axis: str = "data", max_bytes: int = 12 * 2 ** 30):
+                 data_axis: str = "data", max_bytes: int = 12 * 2 ** 30,
+                 expand_onehot: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -273,7 +279,8 @@ class DevicePatchCache:
                     yp = jax.lax.dynamic_slice(
                         cache_y, (si, start[0], start[1], start[2]),
                         (1, pw, ph, pd))[0]
-                    yp = jax.nn.one_hot(yp, n_classes, dtype=jnp.float32)
+                    if expand_onehot:
+                        yp = jax.nn.one_hot(yp, n_classes, dtype=jnp.float32)
                 else:
                     yp = jax.lax.dynamic_slice(
                         cache_y, (si, start[0], start[1], start[2], 0),
@@ -290,9 +297,11 @@ class DevicePatchCache:
 
     def sample(self, subject_indices, key):
         """subject_indices: (N,) ids; key: jax PRNG key -> (batch, starts)
-        where batch = {'X': (N, pw, ph, pd, C), 'y': one-hot f32} and
-        starts = (N, 3) device patch-start coordinates (fetch only if host
-        patch subjects are needed, e.g. for scheduled training evaluators).
+        where batch = {'X': (N, pw, ph, pd, C), 'y': one-hot f32 — or uint8
+        class ids (N, pw, ph, pd) under ``expand_onehot=False``, the fast
+        form for the device augmentation} and starts = (N, 3) device
+        patch-start coordinates (fetch only if host patch subjects are
+        needed, e.g. for scheduled training evaluators).
         """
         import jax.numpy as jnp
 

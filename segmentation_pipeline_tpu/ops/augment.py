@@ -350,6 +350,15 @@ def _augment_post(keys, x, y, cfg: Dict):
 @partial(jax.jit, static_argnames=("config_items",))
 def _augment_batch_jit(key, X, y, config_items):
     cfg = dict(config_items)
+    # integer class-id labels (N, W, H, D) ride through the pipeline as a
+    # single uint8 channel: nearest-neighbor warping commutes with one-hot
+    # encoding (each output voxel copies ONE source voxel), so warping ids
+    # is bit-identical to argmaxing a warped one-hot — and the label gather
+    # reads C_label x 4 fewer bytes (uint8 1-tap gathers measured 13 vs
+    # 20 ms for 2ch f32 at batch 4 x 96^3 on v5e; PARITY.md dtype rows)
+    ids_in = y is not None and y.ndim == 4
+    if ids_in:
+        y = y[..., None]
     sample_keys = jax.random.split(key, X.shape[0])
     keys = jax.vmap(lambda k: jax.random.split(k, 11))(sample_keys)
 
@@ -369,15 +378,21 @@ def _augment_batch_jit(key, X, y, config_items):
     if y is None:
         X, _ = jax.vmap(lambda k, x: _augment_post(k, x, None, cfg))(keys, X)
         return X, None
-    return jax.vmap(lambda k, x, t: _augment_post(k, x, t, cfg))(keys, X, y)
+    X, y = jax.vmap(lambda k, x, t: _augment_post(k, x, t, cfg))(keys, X, y)
+    if ids_in:
+        y = y[..., 0]
+    return X, y
 
 
 def augment_batch(key, X: jnp.ndarray, y: Optional[jnp.ndarray] = None,
                   config: Optional[Dict] = None):
     """One fused device program augmenting a channels-last batch.
 
-    X: (N, W, H, D, C) float; y: optional (N, W, H, D, C_label) one-hot or
-    int-channel labels (warped nearest-neighbor).  Returns (X', y').
+    X: (N, W, H, D, C) float; y: optional (N, W, H, D, C_label) one-hot /
+    int-channel labels, or (N, W, H, D) integer class ids — all warped
+    nearest-neighbor.  Ids are the fast path (smallest gather traffic) and
+    bit-identical to argmaxing the warped one-hot.  Returns (X', y') with
+    y' in the input's form.
     """
     cfg = dict(DEFAULT_CONFIG)
     if config:

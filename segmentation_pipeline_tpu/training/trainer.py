@@ -302,9 +302,14 @@ class SegmentationTrainer:
                 training_dataset.preload_and_transform_subjects()
                 print(f"Done. Took {round(time.time() - t, 2)}s")
 
+            # with device augmentation in the loop, keep one-hot labels as
+            # uint8 ids through the warp (bit-identical, Cx4 less gather
+            # traffic) and expand after augmenting
+            expand_in_cache = self.device_augmentation is None
             if isinstance(self.train_dataloader_factory, StandardDataLoader):
                 cache = DeviceDataCache(training_dataset.subjects,
-                                        x_dtype=x_np_dtype, mesh=self.mesh)
+                                        x_dtype=x_np_dtype, mesh=self.mesh,
+                                        expand_onehot=expand_in_cache)
                 sampler_cls = self.train_dataloader_factory.sampler or RandomSampler
 
                 def infinite_indices():
@@ -319,7 +324,8 @@ class SegmentationTrainer:
                 cache = DevicePatchCache(
                     training_dataset.subjects,
                     sampler=self.train_dataloader_factory.sampler,
-                    x_dtype=x_np_dtype, mesh=self.mesh)
+                    x_dtype=x_np_dtype, mesh=self.mesh,
+                    expand_onehot=expand_in_cache)
                 spv = self.train_dataloader_factory.samples_per_volume
 
                 def infinite_indices():
@@ -334,6 +340,8 @@ class SegmentationTrainer:
 
             print(f"Device cache: {cache.n_subjects} subjects, "
                   f"{cache.nbytes / 2 ** 20:.0f} MiB in HBM")
+            if cache._is_onehot and not expand_in_cache:
+                compact_state["n_classes"] = cache.n_classes
             index_iterator = infinite_indices()
 
         def fetch_and_upload():
@@ -385,8 +393,12 @@ class SegmentationTrainer:
                 batch_cf[refine_image] = np.stack(
                     [np.asarray(s[refine_image].data) for s in subjects]
                 ).astype(np.float32)
-            return subjects, _expand_batch(
-                collate_to_device(batch_cf, mesh=self.mesh))
+            batch_dev = collate_to_device(batch_cf, mesh=self.mesh)
+            if self.device_augmentation is None:
+                batch_dev = _expand_batch(batch_dev)
+            # else: compact uint8 ids warp through the device augmentation
+            # first (bit-identical, far less gather traffic), expanded after
+            return subjects, batch_dev
 
         pending = None  # (subjects, device_batch) prefetched last iteration
 
@@ -443,6 +455,7 @@ class SegmentationTrainer:
                     rng, aug_rng = jax.random.split(rng)
                     batch["X"], batch["y"] = augment_batch(
                         aug_rng, batch["X"], batch["y"], config=aug_cfg)
+                    batch = _expand_batch(batch)  # ids -> one-hot, post-warp
                 rng, step_rng = jax.random.split(rng)
                 self._train_state, loss_dict, y_pred_cl = train_step(
                     self._train_state, batch, step_rng)

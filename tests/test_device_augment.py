@@ -77,6 +77,23 @@ class TestAugmentBatch:
         c, _ = augment_batch(jax.random.PRNGKey(8), X)
         assert not np.array_equal(np.asarray(a), np.asarray(c))
 
+    def test_ids_path_bitmatches_onehot_path(self):
+        """Warping uint8 class ids == argmax of warping the one-hot planes
+        (nearest sampling copies one source voxel, so it commutes with the
+        encoding) — the trainer's fast label path must not drift."""
+        rng = np.random.default_rng(11)
+        X = jnp.asarray(rng.normal(size=(3, 16, 16, 8, 2)).astype(np.float32))
+        ids = rng.integers(0, 3, size=(3, 16, 16, 8)).astype(np.uint8)
+        onehot = jnp.asarray(jax.nn.one_hot(ids, 3, dtype=jnp.float32))
+        cfg = {"elastic_p": 0.5}  # exercise the elastic label warp too
+        key = jax.random.PRNGKey(42)
+        X_a, y_onehot = augment_batch(key, X, onehot, config=cfg)
+        X_b, y_ids = augment_batch(key, X, jnp.asarray(ids), config=cfg)
+        assert y_ids.shape == ids.shape and y_ids.dtype == jnp.uint8
+        np.testing.assert_array_equal(np.asarray(X_a), np.asarray(X_b))
+        np.testing.assert_array_equal(np.argmax(np.asarray(y_onehot), -1),
+                                      np.asarray(y_ids))
+
     def test_per_sample_independence(self):
         X = jnp.asarray(np.tile(np.random.default_rng(9).normal(
             size=(1, 8, 8, 8, 1)).astype(np.float32), (2, 1, 1, 1, 1)))

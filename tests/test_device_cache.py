@@ -60,6 +60,15 @@ class TestDeviceDataCache:
             np.asarray(batch["y"])[0],
             np.moveaxis(subs[0]["y"].data, 0, -1), rtol=1e-6)
 
+    def test_expand_onehot_false_returns_ids(self):
+        subs = self._subjects()
+        cache = DeviceDataCache(subs, expand_onehot=False)
+        batch = cache.gather([1, 2])
+        y = np.asarray(batch["y"])
+        assert y.dtype == np.uint8 and y.ndim == 4
+        want = np.stack([np.argmax(subs[i]["y"].data, axis=0) for i in (1, 2)])
+        np.testing.assert_array_equal(y, want)
+
     def test_bf16_storage(self):
         import jax.numpy as jnp
 
@@ -176,6 +185,27 @@ class TestDevicePatchCache:
             want_y = np.moveaxis(np.asarray(host["y"].data), 0, -1)
             np.testing.assert_array_equal(X[k], want_X)
             np.testing.assert_array_equal(y[k], want_y)
+
+    def test_expand_onehot_false_returns_id_patches(self):
+        import jax
+
+        from segmentation_pipeline_tpu.data.device_cache import DevicePatchCache
+
+        subs = self._patch_subjects()
+        sampler = sp.WeightedSampler(patch_size=(8, 8, 8),
+                                     probability_map="patch_probability")
+        ref, _ = self._cache(subs)
+        ids_cache = DevicePatchCache(subs, sampler=sampler,
+                                     expand_onehot=False)
+        key = jax.random.PRNGKey(5)
+        ref_batch, ref_starts = ref.sample([0, 1], key)
+        id_batch, id_starts = ids_cache.sample([0, 1], key)
+        np.testing.assert_array_equal(np.asarray(ref_starts),
+                                      np.asarray(id_starts))
+        y = np.asarray(id_batch["y"])
+        assert y.dtype == np.uint8 and y.ndim == 4
+        np.testing.assert_array_equal(
+            y, np.argmax(np.asarray(ref_batch["y"]), -1))
 
     def test_centers_follow_probability_map(self):
         import jax
