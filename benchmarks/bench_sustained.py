@@ -113,7 +113,11 @@ def build(root: Path):
         max_iterations_with_no_improvement=10 ** 9,
         train_predictor=sp.StandardPredict(image_names=["X", "y"],
                                            sagittal_split=True),
-        validation_predictor=sp.StandardPredict(image_names=["X"]),
+        # device_argmax: the sweep ships bit-packed label ids instead of the
+        # C-channel f32 probability volume (identical hard segmentations)
+        validation_predictor=sp.StandardPredict(
+            image_names=["X"],
+            device_argmax=os.environ.get("VAL_ARGMAX", "1") == "1"),
         train_dataloader_factory=sp.StandardDataLoader(
             sampler=sp.RandomSampler),
         validation_dataloader_factory=sp.StandardDataLoader(
@@ -224,7 +228,9 @@ def main():
         context.init_components()
         logger = _TimedLogger()
         context.trainer.train(context, max_iterations=iters, logger=logger,
-                              preload_training_data=True)
+                              preload_training_data=True,
+                              preload_validation_data=(
+                                  os.environ.get("PRELOAD_VAL", "0") == "1"))
 
         wall = np.array(logger.wall)
         assert len(wall) == iters, len(wall)

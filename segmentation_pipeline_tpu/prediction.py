@@ -120,7 +120,15 @@ class StandardPredict(Predictor):
         batch["y_pred"] = y_pred
         n_ch = y_pred.shape[1]
         if self.device_argmax and n_ch > 1:
-            ids = np.asarray(jnp.argmax(y_pred, axis=1).astype(idx_dtype_for(n_ch)))
+            ids_dev = jnp.argmax(y_pred, axis=1).astype(idx_dtype_for(n_ch))
+            if n_ch <= 255:
+                from .ops.bitpack import fetch_ids
+
+                # bit-packed fetch: ceil(log2(C)) bits/voxel crosses the
+                # link instead of a uint8 byte (8x binary) — bit-identical
+                ids = fetch_ids(ids_dev, n_ch)
+            else:
+                ids = np.asarray(ids_dev)
             y_np = ids_to_onehot(ids, n_ch, channel_axis=1)
         else:
             # C == 1: the single channel IS the mask/probability — argmax
@@ -366,7 +374,13 @@ class PatchPredict(Predictor):
                         output_labels=use_argmax,
                         transfer_dtype=transfer_dtype)))
             if use_argmax:
-                ids = np.asarray(y_pred)  # (W, H, D) small-int ids
+                if n_ch <= 255:
+                    from .ops.bitpack import fetch_ids
+
+                    # (W, H, D) ids at ceil(log2(C)) bits/voxel on the link
+                    ids = fetch_ids(y_pred, n_ch)
+                else:
+                    ids = np.asarray(y_pred)
                 if padded:
                     ids = ids[:spatial[0], :spatial[1], :spatial[2]]
                 y_np = ids_to_onehot(ids, n_ch)
