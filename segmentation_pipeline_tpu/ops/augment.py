@@ -205,12 +205,30 @@ def _affine_stage(do, A, X, y, pad_value=0.0, batching="map"):
         return x_out, jnp.where(ob[..., None], _label_background(yy), y_out)
 
     if batching == "map":
+        # per-sample lax.cond SKIPS the gather for do=False samples — a
+        # TPU conditional executes only the taken branch, so at affine_p
+        # the warp (the pipeline's dominant cost) runs for only ~p of the
+        # batch. vmap can't do this (batched cond lowers to select: both
+        # branches execute), which is one more reason map is the
+        # single-device fast path. Results are bit-identical: the taken
+        # branch computes exactly warp_one(A), the skip branch returns
+        # the input exactly (vs. the select path's identity-matrix warp,
+        # whose integer coords also reproduce the input).
         if y is None:
-            Xw = lax.map(lambda av: warp_one(av[0], av[1], None)[0],
-                         (A_eff, X))
-            yw = None
-        else:
-            Xw, yw = lax.map(lambda av: warp_one(*av), (A_eff, X, y))
+            Xw = lax.map(
+                lambda dav: lax.cond(
+                    dav[0],
+                    lambda av: warp_one(av[0], av[1], None)[0],
+                    lambda av: av[1], (dav[1], dav[2])),
+                (do, A, X))
+            return Xw, None
+        Xw, yw = lax.map(
+            lambda dav: lax.cond(
+                dav[0],
+                lambda av: warp_one(*av),
+                lambda av: (av[1], av[2]), (dav[1], dav[2], dav[3])),
+            (do, A, X, y))
+        return Xw, yw
     else:
         if y is None:
             Xw = jax.vmap(lambda a, xx: warp_one(a, xx, None)[0])(A_eff, X)
