@@ -339,27 +339,50 @@ def _augment_pre(keys, x, y, cfg: Dict):
 def _augment_post(keys, x, y, cfg: Dict):
     """Per-sample stage after the affine warp: elastic, bias, gamma, noise,
     rescale — key indices match the original 11-way split so per-op random
-    streams are unchanged by the staging."""
+    streams are unchanged by the staging.
+
+    Every probability gate is a lax.cond: under the per-sample lax.map
+    batching a TPU conditional executes ONLY the taken branch, so a skipped
+    op costs nothing (the elastic warp especially); under vmap (sharded
+    batch axes) the batched cond lowers to the same select the old
+    jnp.where gates compiled to — outputs are identical either way."""
     if cfg["elastic_p"] > 0:
         do = jax.random.uniform(keys[3]) < cfg["elastic_p"]
-        x2, y2 = random_elastic_warp(keys[4], x, y,
-                                     max_displacement=cfg["elastic_max_displacement"])
-        x = jnp.where(do, x2, x)
-        y = jnp.where(do, y2, y) if y is not None else None
+        md = cfg["elastic_max_displacement"]
+        if y is None:
+            x = lax.cond(
+                do,
+                lambda xx: random_elastic_warp(keys[4], xx, None,
+                                               max_displacement=md)[0],
+                lambda xx: xx, x)
+        else:
+            x, y = lax.cond(
+                do,
+                lambda xy: random_elastic_warp(keys[4], xy[0], xy[1],
+                                               max_displacement=md),
+                lambda xy: xy, (x, y))
 
     if cfg["bias_p"] > 0:
         do = jax.random.uniform(keys[5]) < cfg["bias_p"]
-        x = jnp.where(do, random_bias_field(keys[6], x, cfg["bias_coefficients"]), x)
+        x = lax.cond(
+            do,
+            lambda xx: random_bias_field(keys[6], xx,
+                                         cfg["bias_coefficients"]),
+            lambda xx: xx, x)
 
     x = rescale_intensity(x, 0.0, 1.0, (0.01, 99.9))
     if cfg["gamma_p"] > 0:
         do = jax.random.uniform(keys[7]) < cfg["gamma_p"]
-        x = jnp.where(do, random_gamma(keys[8], x, cfg["log_gamma"]), x)
+        x = lax.cond(
+            do, lambda xx: random_gamma(keys[8], xx, cfg["log_gamma"]),
+            lambda xx: xx, x)
     x = rescale_intensity(x, -1.0, 1.0)
 
     if cfg["noise_p"] > 0:
         do = jax.random.uniform(keys[9]) < cfg["noise_p"]
-        x = jnp.where(do, random_noise(keys[10], x, cfg["noise_std"]), x)
+        x = lax.cond(
+            do, lambda xx: random_noise(keys[10], xx, cfg["noise_std"]),
+            lambda xx: xx, x)
 
     x = rescale_intensity(x, *cfg["rescale"], cfg["rescale_percentiles"])
     return x, y
@@ -380,23 +403,36 @@ def _augment_batch_jit(key, X, y, config_items):
     sample_keys = jax.random.split(key, X.shape[0])
     keys = jax.vmap(lambda k: jax.random.split(k, 11))(sample_keys)
 
+    # the pre/post stages batch the same way as the affine warp: lax.map
+    # per sample on one device (so the lax.cond probability gates inside
+    # actually SKIP skipped ops), vmap when the batch axis is sharded
+    batching = cfg.get("affine_batching", "map")
+
+    def per_sample(fn, *args):
+        if batching == "map":
+            return lax.map(lambda a: fn(*a), args)
+        return jax.vmap(fn)(*args)
+
     if y is None:
-        X, _ = jax.vmap(lambda k, x: _augment_pre(k, x, None, cfg))(keys, X)
+        X = per_sample(lambda k, x: _augment_pre(k, x, None, cfg)[0],
+                       keys, X)
     else:
-        X, y = jax.vmap(lambda k, x, t: _augment_pre(k, x, t, cfg))(keys, X, y)
+        X, y = per_sample(lambda k, x, t: _augment_pre(k, x, t, cfg),
+                          keys, X, y)
 
     if cfg["affine_p"] > 0:
         do = jax.vmap(lambda k: jax.random.uniform(k[1]))(keys) \
             < cfg["affine_p"]
         A = jax.vmap(lambda k: draw_affine_matrix(
             k[2], cfg["affine_scales"], cfg["affine_degrees"]))(keys)
-        X, y = _affine_stage(do, A, X, y,
-                             batching=cfg.get("affine_batching", "map"))
+        X, y = _affine_stage(do, A, X, y, batching=batching)
 
     if y is None:
-        X, _ = jax.vmap(lambda k, x: _augment_post(k, x, None, cfg))(keys, X)
+        X = per_sample(lambda k, x: _augment_post(k, x, None, cfg)[0],
+                       keys, X)
         return X, None
-    X, y = jax.vmap(lambda k, x, t: _augment_post(k, x, t, cfg))(keys, X, y)
+    X, y = per_sample(lambda k, x, t: _augment_post(k, x, t, cfg),
+                      keys, X, y)
     if ids_in:
         y = y[..., 0]
     return X, y

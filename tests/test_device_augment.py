@@ -77,6 +77,24 @@ class TestAugmentBatch:
         c, _ = augment_batch(jax.random.PRNGKey(8), X)
         assert not np.array_equal(np.asarray(a), np.asarray(c))
 
+    def test_map_and_vmap_full_pipeline_agree(self):
+        """The per-sample lax.map batching (whose lax.cond gates SKIP
+        unapplied ops) must produce the same augmentation as the vmap
+        batching (whose batched conds lower to selects) — every gate
+        active so all cond branches are exercised."""
+        rng = np.random.default_rng(21)
+        X = jnp.asarray(rng.normal(size=(4, 12, 14, 8, 2)).astype(np.float32))
+        ids = rng.integers(0, 3, size=(4, 12, 14, 8)).astype(np.uint8)
+        cfg = {"elastic_p": 0.5, "bias_p": 0.5, "gamma_p": 0.5,
+               "noise_p": 0.5, "affine_p": 0.5}
+        key = jax.random.PRNGKey(7)
+        Xm, ym = augment_batch(key, X, jnp.asarray(ids),
+                               config={**cfg, "affine_batching": "map"})
+        Xv, yv = augment_batch(key, X, jnp.asarray(ids),
+                               config={**cfg, "affine_batching": "vmap"})
+        np.testing.assert_allclose(np.asarray(Xm), np.asarray(Xv), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(ym), np.asarray(yv))
+
     def test_ids_path_bitmatches_onehot_path(self):
         """Warping uint8 class ids == argmax of warping the one-hot planes
         (nearest sampling copies one source voxel, so it commutes with the
