@@ -78,7 +78,8 @@ class SegmentationTrainer:
                  mesh=None, device_augmentation: Optional[dict] = None,
                  spatial_axis: Optional[str] = None,
                  compute_dtype: Optional[str] = None,
-                 device_cache: bool = False):
+                 device_cache: bool = False,
+                 defer_metric_fetch: bool = True):
         self.training_batch_size = training_batch_size
         self.save_rate = save_rate
         self.scoring_interval = scoring_interval
@@ -116,6 +117,13 @@ class SegmentationTrainer:
         # data/device_cache.py). Forces pretransform; pair with
         # device_augmentation so augs still vary per step.
         self.device_cache = device_cache
+        # overlap the per-iteration metric round trip with the NEXT step's
+        # device work: on iterations with no scheduled evaluator/checkpoint/
+        # scoring, the stacked loss fetch is deferred one iteration (the
+        # values are identical — only when the host reads them changes).
+        # One D2H round trip costs ~24 ms on high-latency links (PARITY.md),
+        # which is ~12% of a dmri iteration. Set False to log synchronously.
+        self.defer_metric_fetch = defer_metric_fetch
 
         self.iteration = 0
         self.max_score = float("-inf")
@@ -402,6 +410,25 @@ class SegmentationTrainer:
 
         pending = None  # (subjects, device_batch) prefetched last iteration
 
+        # deferred per-iteration metric record (defer_metric_fetch): the
+        # stacked loss scalars stay ON DEVICE for one iteration so their
+        # D2H round trip (~24 ms on high-latency links) overlaps the next
+        # step's device work instead of serializing after it. Values are
+        # identical; only when the host reads them changes. Iterations with
+        # scheduled evaluators/checkpoints/scoring process synchronously.
+        deferred = None
+
+        def flush_deferred():
+            nonlocal deferred
+            if deferred is None:
+                return
+            vals = np.asarray(deferred["stack"])
+            rec = {k: float(v) for k, v in zip(deferred["keys"], vals)}
+            rec["timer"] = deferred["timer"]
+            rec["iteration"] = deferred["iteration"]
+            logger.log(rec)
+            deferred = None
+
         try:
             for _ in range(max_iterations):
                 timer.start()
@@ -475,9 +502,33 @@ class SegmentationTrainer:
                 import jax.numpy as jnp
 
                 loss_keys = list(loss_dict)
-                loss_vals = np.asarray(jnp.stack([loss_dict[k] for k in loss_keys]))
-                loss_dict = {k: float(v) for k, v in zip(loss_keys, loss_vals)}
-                timer.stamp("train_step", sync_on=y_pred_cl)
+                loss_stack = jnp.stack([loss_dict[k] for k in loss_keys])
+
+                # flush LAST iteration's deferred record first: its step has
+                # completed (or completes while this one queues), so its
+                # round trip overlaps this iteration's device work
+                flush_deferred()
+
+                busy = (
+                    not self.defer_metric_fetch
+                    or any(self.iteration % s.interval == 0
+                           for s in self.training_evaluators)
+                    or any(self.iteration % s.interval == 0
+                           for s in self.validation_evaluators)
+                    or self.iteration % self.save_rate == 0
+                    or (self.scoring_function is not None
+                        and self.iteration % self.scoring_interval == 0))
+                if not busy:
+                    # logging-only iteration: defer the fetch one iteration
+                    timer.stamp("train_step")
+                    deferred = {"keys": loss_keys, "stack": loss_stack,
+                                "timer": dict(timer.timestamps),
+                                "iteration": self.iteration}
+                else:
+                    loss_vals = np.asarray(loss_stack)
+                    loss_dict = {k: float(v)
+                                 for k, v in zip(loss_keys, loss_vals)}
+                    timer.stamp("train_step", sync_on=y_pred_cl)
 
                 # Scheduled training evaluators see the train-mode predictions
                 training_evaluations = {}
@@ -541,7 +592,9 @@ class SegmentationTrainer:
                                 scheduled.evaluator(filtered)
                             timer.stamp(f"evaluation.{scheduled.log_name}")
 
-                log_dict = {**loss_dict, **training_evaluations, **validation_evaluations}
+                if busy:
+                    log_dict = {**loss_dict, **training_evaluations,
+                                **validation_evaluations}
 
                 if self.iteration % self.save_rate == 0:
                     logger.save_context(context, "checkpoints/", self.iteration)
@@ -561,9 +614,10 @@ class SegmentationTrainer:
                         logger.save_context(context, "best_checkpoints/", self.iteration)
                         timer.stamp("save_best_checkpoint")
 
-                log_dict["timer"] = dict(timer.timestamps)
-                log_dict["iteration"] = self.iteration
-                logger.log(log_dict)
+                if busy:
+                    log_dict["timer"] = dict(timer.timestamps)
+                    log_dict["iteration"] = self.iteration
+                    logger.log(log_dict)
 
                 iterations_with_no_improvement = self.iteration - self.max_score_iteration
                 if (self.scoring_function is not None and
@@ -581,6 +635,7 @@ class SegmentationTrainer:
 
                 self.iteration += 1
 
+            flush_deferred()
             print("Saving context...")
             logger.save_context(context, "checkpoints/", self.iteration)
         finally:
