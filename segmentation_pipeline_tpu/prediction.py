@@ -317,6 +317,38 @@ class PatchPredict(Predictor):
 
         out_subjects = []
         preds = []
+
+        def finalize(rec):
+            """Fetch, unpad and attach one dispatched prediction (in subject
+            order — callers flush older records before appending newer)."""
+            subject, spatial, padded, y_pred = rec
+            if use_argmax:
+                if n_ch <= 255:
+                    from .ops.bitpack import fetch_ids
+
+                    # (W, H, D) ids at ceil(log2(C)) bits/voxel on the link
+                    ids = fetch_ids(y_pred, n_ch)
+                else:
+                    ids = np.asarray(y_pred)
+                if padded:
+                    ids = ids[:spatial[0], :spatial[1], :spatial[2]]
+                y_np = ids_to_onehot(ids, n_ch)
+            else:
+                y_np = np.asarray(y_pred)
+                if padded:
+                    y_np = y_np[:, :spatial[0], :spatial[1], :spatial[2]]
+            preds.append(y_np)
+            out_subjects.append(
+                _attach_prediction(subject, y_np, label_attributes))
+
+        # software pipeline (single-device path): subject i's fetch + host
+        # post-processing happen while subject i+1's window program runs on
+        # device. The blocking degrade wrapper still guards the FIRST run
+        # of each padded shape — a new shape means a new program, the only
+        # new memory-exhaustion risk; repeats dispatch async at the proven
+        # batch size.
+        pending = None
+        shapes_run = set()
         for subject in subjects:
             volume = np.asarray(subject["X"].data)
             # pad volumes smaller than the patch (tio.GridSampler padding_mode)
@@ -358,38 +390,42 @@ class PatchPredict(Predictor):
                     # post-hoc device argmax: only ids cross the host link
                     y_pred = jnp.argmax(y_pred, axis=0).astype(
                         idx_dtype_for(y_pred.shape[0]))
-            else:
-                compute_dtype = getattr(model, "compute_dtype", None)
-                transfer_dtype = None
-                if compute_dtype is not None and \
-                        jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32):
-                    # the model casts to this dtype anyway: upload half-size
-                    transfer_dtype = compute_dtype
-                y_pred = run_with_batch_degrade(lambda bs: (
-                    sliding_window_inference(
-                        volume, model_fn, patch_size=patch_size,
-                        patch_overlap=self.patch_overlap,
-                        patch_batch=bs, mode=mode,
-                        model_args=model_args,
-                        output_labels=use_argmax,
-                        transfer_dtype=transfer_dtype)))
-            if use_argmax:
-                if n_ch <= 255:
-                    from .ops.bitpack import fetch_ids
+                if pending is not None:
+                    finalize(pending)
+                    pending = None
+                finalize((subject, spatial, padded, y_pred))
+                continue
+            compute_dtype = getattr(model, "compute_dtype", None)
+            transfer_dtype = None
+            if compute_dtype is not None and \
+                    jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32):
+                # the model casts to this dtype anyway: upload half-size
+                transfer_dtype = compute_dtype
 
-                    # (W, H, D) ids at ceil(log2(C)) bits/voxel on the link
-                    ids = fetch_ids(y_pred, n_ch)
-                else:
-                    ids = np.asarray(y_pred)
-                if padded:
-                    ids = ids[:spatial[0], :spatial[1], :spatial[2]]
-                y_np = ids_to_onehot(ids, n_ch)
+            def run(bs, volume=volume):
+                return sliding_window_inference(
+                    volume, model_fn, patch_size=patch_size,
+                    patch_overlap=self.patch_overlap,
+                    patch_batch=bs, mode=mode,
+                    model_args=model_args,
+                    output_labels=use_argmax,
+                    transfer_dtype=transfer_dtype)
+
+            if volume.shape in shapes_run:
+                y_pred = run(getattr(self, "_effective_patch_batch",
+                                     self.patch_batch_size))
+                if pending is not None:
+                    finalize(pending)
+                pending = (subject, spatial, padded, y_pred)
             else:
-                y_np = np.asarray(y_pred)
-                if padded:
-                    y_np = y_np[:, :spatial[0], :spatial[1], :spatial[2]]
-            preds.append(y_np)
-            out_subjects.append(_attach_prediction(subject, y_np, label_attributes))
+                if pending is not None:
+                    finalize(pending)
+                    pending = None
+                y_pred = run_with_batch_degrade(run)
+                shapes_run.add(volume.shape)
+                finalize((subject, spatial, padded, y_pred))
+        if pending is not None:
+            finalize(pending)
 
         batch = collate_subjects(subjects, image_names=self.image_names)
         if use_argmax:

@@ -181,3 +181,48 @@ class TestPatchPredictDeviceArgmax:
             ev = SegmentationEvaluator("y_pred_eval", "y_eval")(subs)
             results[tag] = ev["summary_stats"]["mean", :, "dice"].mean()
         assert float(results["probs"]) == float(results["ids"])
+
+
+class TestPipelinedSubjectLoop:
+    """PatchPredict dispatches subject i+1's window program while subject
+    i's prediction crosses the host link. Results and subject order must be
+    identical to processing each subject alone — across mixed shapes
+    (first-of-shape runs the blocking degrade path, repeats the async one)
+    and both fetch modes."""
+
+    @staticmethod
+    def _subjects():
+        subs = []
+        for i in range(4):  # subject 0 takes the blocking first-of-shape
+            s = make_subject(spatial_shape=(20, 16, 8), channels=2, seed=i,
+                             name=f"s{i}", with_label=False)  # path; 1-3
+            s["X"] = s["img"]  # dispatch async behind the previous fetch
+            del s["img"]
+            subs.append(s)
+        return subs
+
+    def _run(self, device_argmax, batched):
+        import segmentation_pipeline_tpu as sp
+
+        model = lambda x: jnp.moveaxis(_model_fn(jnp.moveaxis(x, 1, -1)),
+                                       -1, 1)
+        pred = PatchPredict(image_names=["X"], patch_size=(8, 8, 8),
+                            patch_overlap=4, patch_batch_size=4,
+                            device_argmax=device_argmax)
+        if batched:
+            out, batch = pred.predict(model, copy.deepcopy(self._subjects()))
+            return out
+        outs = []
+        for s in self._subjects():
+            o, _ = pred.predict(model, [copy.deepcopy(s)])
+            outs += o
+        return outs
+
+    def test_matches_per_subject_runs(self):
+        for device_argmax in (False, True):
+            together = self._run(device_argmax, batched=True)
+            alone = self._run(device_argmax, batched=False)
+            assert [s["name"] for s in together] == [f"s{i}" for i in range(4)]
+            for a, b in zip(together, alone):
+                np.testing.assert_array_equal(
+                    np.asarray(a["y_pred"].data), np.asarray(b["y_pred"].data))
