@@ -120,12 +120,17 @@ class _PrefetchIterator:
     """
 
     def __init__(self, dataset, order: List[int], num_workers: int,
-                 prefetch: int = 4, use_processes: bool = False, pool=None):
+                 prefetch: int = 4, use_processes: bool = False, pool=None,
+                 on_pool_broken=None):
         self.dataset = dataset
         self.order = order
         self.num_workers = num_workers
         self.use_processes = use_processes
         self.pool = pool  # externally-owned persistent process pool
+        # called when the externally-owned pool breaks (a worker died) so
+        # the owner drops it and builds a fresh one next epoch instead of
+        # resubmitting to a permanently-broken executor
+        self.on_pool_broken = on_pool_broken
         self.prefetch = max(prefetch, num_workers * 2) if num_workers > 0 else 0
 
     def __iter__(self):
@@ -148,6 +153,28 @@ class _PrefetchIterator:
                 pool = _make_process_pool(self.dataset, self.num_workers)
                 owns_pool = True
             submit = lambda i: pool.submit(_worker_fetch, i)  # noqa: E731
+
+        def pool_died(e):
+            # invalidate the owner's cached pool (it is permanently broken)
+            # and raise the actionable error — submit() on a broken executor
+            # would otherwise raise a bare BrokenProcessPool forever after
+            if self.on_pool_broken is not None:
+                try:
+                    self.on_pool_broken()
+                except Exception:
+                    pass
+            raise RuntimeError(
+                "A loader worker process died. With use_processes=True "
+                "workers start via spawn/forkserver, which re-imports "
+                "the launching script: entry-point scripts MUST guard "
+                "their body with `if __name__ == '__main__':` (the "
+                "same rule as torch DataLoader workers on spawn "
+                "platforms). If the script is already guarded, the "
+                "worker crashed hard (segfault/OOM) — rerun with "
+                "PYTHONFAULTHANDLER=1 for a child traceback. The broken "
+                "pool was discarded; the next epoch starts a fresh "
+                "one.") from e
+
         try:
             futures = queue_mod.Queue()
             order_iter = iter(self.order)
@@ -157,29 +184,27 @@ class _PrefetchIterator:
                     idx = next(order_iter)
                 except StopIteration:
                     break
-                futures.put(submit(idx))
+                try:
+                    futures.put(submit(idx))
+                except BrokenProcessPool as e:
+                    pool_died(e)
                 submitted += 1
             while submitted > 0:
                 fut = futures.get()
                 submitted -= 1
                 try:
                     idx = next(order_iter)
-                    futures.put(submit(idx))
+                    try:
+                        futures.put(submit(idx))
+                    except BrokenProcessPool as e:
+                        pool_died(e)
                     submitted += 1
                 except StopIteration:
                     pass
                 try:
                     yield fut.result()
                 except BrokenProcessPool as e:
-                    raise RuntimeError(
-                        "A loader worker process died. With use_processes=True "
-                        "workers start via spawn/forkserver, which re-imports "
-                        "the launching script: entry-point scripts MUST guard "
-                        "their body with `if __name__ == '__main__':` (the "
-                        "same rule as torch DataLoader workers on spawn "
-                        "platforms). If the script is already guarded, the "
-                        "worker crashed hard (segfault/OOM) — rerun with "
-                        "PYTHONFAULTHANDLER=1 for a child traceback.") from e
+                    pool_died(e)
         finally:
             if owns_pool:
                 pool.shutdown(wait=True)
@@ -189,14 +214,21 @@ class SubjectsLoader:
     """Minimal DataLoader: yields lists of Subjects of size batch_size."""
 
     def __init__(self, dataset, batch_size: int, sampler, num_workers: int = 0,
-                 drop_last: bool = False, use_processes: bool = False):
+                 drop_last: bool = False, use_processes: bool = False,
+                 pool=None, on_pool_broken=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.use_processes = use_processes
-        self._pool = None
+        # pool may be owned externally (a factory sharing one pool across
+        # the loaders it creates, e.g. per validation sweep) — then this
+        # loader never shuts it down, and pool breakage is reported to
+        # on_pool_broken so the owner discards it too
+        self._pool = pool
+        self._owns_pool = pool is None
+        self._on_pool_broken = on_pool_broken
 
     def _get_pool(self):
         """Persistent worker pool, reused across epochs (torch
@@ -206,12 +238,29 @@ class SubjectsLoader:
             return None
         if self._pool is None:
             self._pool = _make_process_pool(self.dataset, self.num_workers)
+            self._owns_pool = True
         return self._pool
 
-    def close(self):
+    def _discard_pool(self):
+        """A worker died: drop the broken executor (reaped without waiting)
+        so the next epoch builds a fresh pool instead of failing forever."""
         if self._pool is not None:
+            try:
+                self._pool.shutdown(wait=False)
+            except Exception:
+                pass
+        self._pool = None
+        self._owns_pool = True
+        if self._on_pool_broken is not None:
+            try:
+                self._on_pool_broken()
+            except Exception:
+                pass
+
+    def close(self):
+        if self._pool is not None and self._owns_pool:
             self._pool.shutdown(wait=True)
-            self._pool = None
+        self._pool = None
 
     def __del__(self):
         try:
@@ -223,7 +272,8 @@ class SubjectsLoader:
         order = list(iter(self.sampler))
         items = _PrefetchIterator(self.dataset, order, self.num_workers,
                                   use_processes=self.use_processes,
-                                  pool=self._get_pool())
+                                  pool=self._get_pool(),
+                                  on_pool_broken=self._discard_pool)
         batch = []
         for item in items:
             batch.append(item)
@@ -364,7 +414,8 @@ class PatchQueue:
     def __init__(self, dataset, max_length: int, samples_per_volume: int,
                  sampler: PatchSampler, num_workers: int = 0,
                  shuffle_subjects: bool = True, shuffle_patches: bool = True,
-                 use_processes: bool = False):
+                 use_processes: bool = False, pool=None,
+                 on_pool_broken=None):
         self.dataset = dataset
         self.max_length = max_length
         self.samples_per_volume = samples_per_volume
@@ -373,7 +424,9 @@ class PatchQueue:
         self.shuffle_subjects = shuffle_subjects
         self.shuffle_patches = shuffle_patches
         self.use_processes = use_processes
-        self._pool = None
+        self._pool = pool
+        self._owns_pool = pool is None
+        self._on_pool_broken = on_pool_broken
 
     def __len__(self):
         return len(self.dataset) * self.samples_per_volume
@@ -383,12 +436,27 @@ class PatchQueue:
             return None
         if self._pool is None:
             self._pool = _make_process_pool(self.dataset, self.num_workers)
+            self._owns_pool = True
         return self._pool
 
-    def close(self):
+    def _discard_pool(self):
         if self._pool is not None:
+            try:
+                self._pool.shutdown(wait=False)
+            except Exception:
+                pass
+        self._pool = None
+        self._owns_pool = True
+        if self._on_pool_broken is not None:
+            try:
+                self._on_pool_broken()
+            except Exception:
+                pass
+
+    def close(self):
+        if self._pool is not None and self._owns_pool:
             self._pool.shutdown(wait=True)
-            self._pool = None
+        self._pool = None
 
     def __del__(self):
         try:
@@ -402,7 +470,8 @@ class PatchQueue:
             random.shuffle(order)
         return _PrefetchIterator(self.dataset, order, self.num_workers,
                                  use_processes=self.use_processes,
-                                 pool=self._get_pool())
+                                 pool=self._get_pool(),
+                                 on_pool_broken=self._discard_pool)
 
     def __iter__(self) -> Iterator[Subject]:
         buffer: List[Subject] = []
@@ -450,6 +519,52 @@ class DataLoaderFactory(ABC):
     def get_data_loader(self, dataset, batch_size: int, num_workers: int):
         ...
 
+    # ---- persistent process pools (shared across the loaders a factory
+    # creates) -----------------------------------------------------------
+    # A scheduled validation sweep builds a NEW loader each time; worker
+    # startup (spawn/forkserver + dataset pickle) is far too slow to pay
+    # per sweep, so the pool lives HERE, keyed by dataset identity, and is
+    # handed to each loader non-owning. The pooled workers hold the dataset
+    # as pickled at first use — safe for the trainer (set_cohort applies
+    # the same filter every sweep); call close_pools() after mutating a
+    # dataset in a way that changes indexing. Pools are process-local
+    # state: they are dropped on pickling (factories travel inside Context
+    # checkpoints).
+
+    def _pool_for(self, dataset, num_workers: int):
+        if not (getattr(self, "use_processes", False) and num_workers > 0):
+            return None
+        import weakref
+
+        pools = self.__dict__.setdefault("_pools", {})
+        key = id(dataset)
+        entry = pools.get(key)
+        if entry is not None:
+            ref, pool = entry
+            if ref() is dataset:  # guard against id() reuse after gc
+                return pool
+            pool.shutdown(wait=False)
+        pool = _make_process_pool(dataset, num_workers)
+        try:
+            pools[key] = (weakref.ref(dataset), pool)
+        except TypeError:  # non-weakrefable dataset: pool stays per-loader
+            pool.shutdown(wait=False)
+            return None
+        return pool
+
+    def _drop_pool(self, dataset):
+        self.__dict__.get("_pools", {}).pop(id(dataset), None)
+
+    def close_pools(self):
+        for _, p in self.__dict__.get("_pools", {}).values():
+            p.shutdown(wait=True)
+        self.__dict__.pop("_pools", None)
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_pools", None)
+        return state
+
 
 class StandardDataLoader(DataLoaderFactory):
     def __init__(self, sampler=SequentialSampler, use_processes: bool = False):
@@ -462,7 +577,9 @@ class StandardDataLoader(DataLoaderFactory):
         return SubjectsLoader(dataset=dataset, batch_size=batch_size,
                               sampler=self.sampler(dataset),
                               num_workers=num_workers,
-                              use_processes=self.use_processes)
+                              use_processes=self.use_processes,
+                              pool=self._pool_for(dataset, num_workers),
+                              on_pool_broken=lambda: self._drop_pool(dataset))
 
 
 class PatchDataLoader(DataLoaderFactory):
@@ -477,5 +594,7 @@ class PatchDataLoader(DataLoaderFactory):
         queue = PatchQueue(dataset, max_length=self.max_length,
                            samples_per_volume=self.samples_per_volume,
                            sampler=self.sampler, num_workers=num_workers,
-                           use_processes=self.use_processes)
+                           use_processes=self.use_processes,
+                           pool=self._pool_for(dataset, num_workers),
+                           on_pool_broken=lambda: self._drop_pool(dataset))
         return _QueueLoader(queue, batch_size)

@@ -196,9 +196,13 @@ def _affine_stage(do, A, X, y, pad_value=0.0, batching="map"):
     A_eff = jnp.where(do[:, None, None], A, eye)
 
     def warp_one(a, xx, yy):
-        coords, ob = _affine_coords_oob(a, spatial, X.dtype)
+        # coords ALWAYS in f32: sub-f32 image dtypes cannot represent
+        # voxel indices above 256 exactly, which would quantize sample
+        # positions on large volumes (the blend then runs in the image
+        # dtype; the result is cast back so both lax.cond branches agree)
+        coords, ob = _affine_coords_oob(a, spatial, jnp.float32)
         x_out = jnp.where(ob[..., None], pad_value,
-                          trilinear_sample(xx, coords))
+                          trilinear_sample(xx, coords)).astype(xx.dtype)
         if yy is None:
             return x_out, None
         y_out = trilinear_sample(yy, coords, nearest=True)
@@ -391,6 +395,15 @@ def _augment_post(keys, x, y, cfg: Dict):
 @partial(jax.jit, static_argnames=("config_items",))
 def _augment_batch_jit(key, X, y, config_items):
     cfg = dict(config_items)
+    # the pipeline COMPUTES in float32 and returns the input image dtype:
+    # warp coordinates must never be bf16 (integers above 256 are not
+    # representable, which would quantize sample positions on large
+    # volumes), and the lax.cond probability gates require both branches
+    # to agree on dtype (bias/gamma/noise promote to f32 internally).
+    # bf16-cached inputs pay one cast each way — noise next to the warp.
+    in_dtype = X.dtype
+    if in_dtype != jnp.float32:
+        X = X.astype(jnp.float32)
     # integer class-id labels (N, W, H, D) ride through the pipeline as a
     # single uint8 channel: nearest-neighbor warping commutes with one-hot
     # encoding (each output voxel copies ONE source voxel), so warping ids
@@ -430,12 +443,12 @@ def _augment_batch_jit(key, X, y, config_items):
     if y is None:
         X = per_sample(lambda k, x: _augment_post(k, x, None, cfg)[0],
                        keys, X)
-        return X, None
+        return X.astype(in_dtype), None
     X, y = per_sample(lambda k, x, t: _augment_post(k, x, t, cfg),
                       keys, X, y)
     if ids_in:
         y = y[..., 0]
-    return X, y
+    return X.astype(in_dtype), y
 
 
 def augment_batch(key, X: jnp.ndarray, y: Optional[jnp.ndarray] = None,

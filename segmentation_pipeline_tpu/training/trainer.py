@@ -321,9 +321,20 @@ class SegmentationTrainer:
                 sampler_cls = self.train_dataloader_factory.sampler or RandomSampler
 
                 def infinite_indices():
+                    # FULL batches only: the jitted device gather is shaped
+                    # (and, on a mesh, sharded) for training_batch_size, so
+                    # an epoch tail smaller than the batch would crash the
+                    # data-axis sharding (and recompile on one device).
+                    # The stream is infinite, so the tail simply carries
+                    # into the next epoch's permutation — every subject
+                    # still appears exactly once per epoch.
+                    carry = []
                     while True:
-                        order = list(iter(sampler_cls(training_dataset)))
-                        for j in range(0, len(order), self.training_batch_size):
+                        order = carry + list(iter(sampler_cls(training_dataset)))
+                        n_full = (len(order) // self.training_batch_size
+                                  * self.training_batch_size)
+                        carry = order[n_full:]
+                        for j in range(0, n_full, self.training_batch_size):
                             yield order[j:j + self.training_batch_size]
             else:
                 # patch training: volumes + center CDFs cached on device,
@@ -339,11 +350,17 @@ class SegmentationTrainer:
                 def infinite_indices():
                     import random as _random
 
+                    # full batches only (see the whole-volume variant above)
+                    carry = []
                     while True:  # tio.Queue balance: spv patches/subject/epoch
                         order = [i for i in range(len(training_dataset))
                                  for _ in range(spv)]
                         _random.shuffle(order)
-                        for j in range(0, len(order), self.training_batch_size):
+                        order = carry + order
+                        n_full = (len(order) // self.training_batch_size
+                                  * self.training_batch_size)
+                        carry = order[n_full:]
+                        for j in range(0, n_full, self.training_batch_size):
                             yield order[j:j + self.training_batch_size]
 
             print(f"Device cache: {cache.n_subjects} subjects, "

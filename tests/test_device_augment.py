@@ -77,6 +77,28 @@ class TestAugmentBatch:
         c, _ = augment_batch(jax.random.PRNGKey(8), X)
         assert not np.array_equal(np.asarray(a), np.asarray(c))
 
+    def test_bf16_input_runs_and_tracks_f32(self):
+        """bf16-cached volumes must augment without dtype errors (the
+        lax.cond gates need branch dtypes to agree; compute happens in f32
+        with coords ALWAYS f32) and return bf16, tracking the f32 result
+        to bf16 precision under both batchings."""
+        rng = np.random.default_rng(13)
+        X32 = jnp.asarray(rng.normal(size=(2, 12, 14, 8, 2)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, 3, size=(2, 12, 14, 8)).astype(np.uint8))
+        key = jax.random.PRNGKey(3)
+        cfg = {"elastic_p": 0.5, "bias_p": 0.5, "gamma_p": 0.5,
+               "noise_p": 0.5, "affine_p": 0.5}
+        for batching in ("map", "vmap"):
+            c = {**cfg, "affine_batching": batching}
+            Xb, yb = augment_batch(key, X32.astype(jnp.bfloat16), ids,
+                                   config=c)
+            assert Xb.dtype == jnp.bfloat16 and yb.dtype == jnp.uint8
+            Xf, yf = augment_batch(key, X32, ids, config=c)
+            np.testing.assert_allclose(
+                np.asarray(Xb, np.float32), np.asarray(Xf), atol=0.05)
+            # the label path never touches the image dtype
+            np.testing.assert_array_equal(np.asarray(yb), np.asarray(yf))
+
     def test_map_and_vmap_full_pipeline_agree(self):
         """The per-sample lax.map batching (whose lax.cond gates SKIP
         unapplied ops) must produce the same augmentation as the vmap

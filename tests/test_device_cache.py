@@ -352,3 +352,30 @@ class TestPatchBatchDegrade:
                                patch_batch_size=8)
         with pytest.raises(RuntimeError, match="on host"):
             pred.predict(model, [s])
+
+
+class TestFullBatchesAcrossEpochTails:
+    def test_gather_always_full_batch(self, tmp_path, monkeypatch):
+        """3 training subjects at batch 2: the epoch tail must CARRY into
+        the next epoch's permutation, never shrink the gather — a tail
+        batch would crash the data-axis sharding on a mesh and recompile
+        the step on one device."""
+        from segmentation_pipeline_tpu.data import device_cache as dc
+
+        sizes = []
+        orig = dc.DeviceDataCache.gather
+
+        def spy(self, idx):
+            sizes.append(len(list(idx)))
+            return orig(self, idx)
+
+        monkeypatch.setattr(dc.DeviceDataCache, "gather", spy)
+        root = tmp_path / "ds"
+        build_dataset(root, n=7)  # folds 0,1,...: 3 training subjects
+        context = build_context(root, tmp_path / "logs")
+        context.update_component("trainer", device_cache=True)
+        context.init_components()
+        context.trainer.train(context, max_iterations=7,
+                              logger=sp.NonLogger(),
+                              pretransform_training_data=True)
+        assert len(sizes) >= 7 and all(s == 2 for s in sizes), sizes

@@ -105,3 +105,66 @@ class TestProcessWorkers:
         list(_PrefetchIterator(ds, order, num_workers=4, use_processes=True))
         procs = time.time() - t0
         assert procs < serial * 0.7, (serial, procs)
+
+
+class TestPoolLifecycle:
+    def test_factory_shares_pool_across_loaders(self, tmp_path):
+        """A scheduled sweep creates a new loader per call; the pool must
+        persist on the FACTORY (keyed by dataset) so workers don't restart
+        per sweep — and each loader must still iterate correctly."""
+        build_dataset(tmp_path, n=4)
+        ds = _folder(tmp_path)
+        factory = sp.StandardDataLoader(sampler=sp.SequentialSampler,
+                                        use_processes=True)
+        l1 = factory.get_data_loader(ds, batch_size=2, num_workers=2)
+        l2 = factory.get_data_loader(ds, batch_size=2, num_workers=2)
+        assert l1._pool is l2._pool and l1._pool is not None
+        assert not l1._owns_pool
+        names1 = [s["name"] for b in l1 for s in b]
+        names2 = [s["name"] for b in l2 for s in b]
+        assert names1 == names2 and len(names1) == 4
+        # non-owning loader close() must NOT kill the factory's pool
+        l1.close()
+        l3 = factory.get_data_loader(ds, batch_size=4, num_workers=2)
+        assert l3._pool is l2._pool
+        assert [s["name"] for b in l3 for s in b] == names1
+        factory.close_pools()
+        assert "_pools" not in factory.__dict__
+
+    def test_factory_pickles_without_pools(self, tmp_path):
+        import pickle
+
+        build_dataset(tmp_path, n=2)
+        ds = _folder(tmp_path)
+        factory = sp.StandardDataLoader(sampler=sp.SequentialSampler,
+                                        use_processes=True)
+        factory.get_data_loader(ds, batch_size=1, num_workers=1)
+        clone = pickle.loads(pickle.dumps(factory))
+        assert "_pools" not in clone.__dict__
+        factory.close_pools()
+
+    def test_broken_pool_is_discarded_and_recovers(self, tmp_path):
+        """After a worker dies the owner must drop the broken executor and
+        the next epoch must succeed on a fresh pool (previously every
+        subsequent epoch raised a bare BrokenProcessPool forever)."""
+        import segmentation_pipeline_tpu.data.loader as L
+
+        build_dataset(tmp_path, n=4)
+        ds = _folder(tmp_path)
+        factory = sp.StandardDataLoader(sampler=sp.SequentialSampler,
+                                        use_processes=True)
+        loader = factory.get_data_loader(ds, batch_size=2, num_workers=2)
+        pool = loader._pool
+        # kill the pool's workers mid-flight: hard-exit inside a task
+        fut = pool.submit(os._exit, 1)
+        with pytest.raises(Exception):
+            fut.result(timeout=30)
+        with pytest.raises(RuntimeError, match="worker process died"):
+            list(loader)
+        # the factory dropped the broken pool; a new loader gets a fresh
+        # one and iterates fine
+        loader2 = factory.get_data_loader(ds, batch_size=2, num_workers=2)
+        assert loader2._pool is not pool and loader2._pool is not None
+        names = [s["name"] for b in loader2 for s in b]
+        assert len(names) == 4
+        factory.close_pools()
