@@ -31,6 +31,12 @@ class Image:
         self.paths = [str(p) for p in paths]
         self._data: Optional[np.ndarray] = None
         self._affine: Optional[np.ndarray] = None
+        # on-device views of this image's data, keyed by the consumer (see
+        # device_mirror). Shared BY REFERENCE across copies/deepcopies so a
+        # mirror built while predicting on a transient per-sweep copy
+        # persists on the pristine dataset subject; any data reassignment
+        # rebinds a fresh dict, detaching the stale entries.
+        self._device_mirror: Dict[Any, Any] = {}
         self.metadata: Dict[str, Any] = dict(metadata)
         self.metadata.pop("uniform", None)
 
@@ -74,6 +80,7 @@ class Image:
     def unload(self):
         if self.paths:
             self._data = None
+            self._device_mirror = {}
 
     # ---- data access ---------------------------------------------------
     @property
@@ -88,9 +95,34 @@ class Image:
         if value.ndim == 3:
             value = value[None]
         self._data = value
+        # detach (never mutate — copies may share it) any device mirrors of
+        # the replaced data
+        self._device_mirror = {}
 
     def set_data(self, value):
         self.data = value
+
+    def device_mirror(self, key, make):
+        """Cached on-device view of this image's data.
+
+        ``make(self.data)`` builds the view on a miss; ``key`` identifies the
+        variant (dtype/padding/etc.). The cache survives copy/deepcopy (the
+        dict is shared by reference — device arrays are immutable) and is
+        dropped whenever ``data`` is reassigned. Every framework transform
+        mutates through the ``data`` setter, so entries can only go stale if
+        caller code writes into ``image.data[...]`` in place — don't.
+        Mirrors are not pickled (multiprocess workers re-upload).
+        """
+        out = self._device_mirror.get(key)
+        if out is None:
+            out = make(self.data)
+            self._device_mirror[key] = out
+        return out
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_device_mirror"] = {}
+        return state
 
     @property
     def tensor(self) -> np.ndarray:
@@ -162,18 +194,24 @@ class Image:
         out = cls(*self.paths, **copy.deepcopy(self.metadata))
         out._data = self._data
         out._affine = self._affine
+        out._device_mirror = self._device_mirror
         return out
 
     def __copy__(self):
         out = type(self)(*self.paths, **self.metadata)
         out._data = self._data
         out._affine = self._affine
+        out._device_mirror = self._device_mirror
         return out
 
     def __deepcopy__(self, memo):
         out = type(self)(*self.paths, **copy.deepcopy(self.metadata, memo))
         out._data = None if self._data is None else self._data.copy()
         out._affine = None if self._affine is None else self._affine.copy()
+        # deliberate deepcopy exception: mirrors reflect the same VALUES the
+        # copied data holds and device arrays are immutable, so sharing the
+        # dict lets per-sweep subject copies reuse (and persist) uploads
+        out._device_mirror = self._device_mirror
         return out
 
     def __repr__(self):
@@ -296,24 +334,39 @@ def _rebuild_subject(data: dict, history: list) -> Subject:
 
 
 def collate_subjects(
-    subjects: Sequence[Subject], image_names: Sequence[str], device=None
+    subjects: Sequence[Subject], image_names: Sequence[str], device=None,
+    cache: bool = False,
 ) -> Dict[str, "np.ndarray"]:
     """Stack named images across subjects into batched device arrays.
 
     TPU-native analog of ref utils/utils.py:75-85: produces jax arrays placed
     on the default device, shape (N, C, W, H, D), float32 for scalar images
     and int32 for label maps.
+
+    ``cache=True`` uploads each image through its device mirror
+    (``Image.device_mirror``), so re-collating unchanged subjects — e.g. the
+    preloaded validation set every scheduled sweep — skips the host->device
+    transfer and only pays an on-device stack.
     """
     import jax.numpy as jnp
 
+    def _cast(arr):
+        arr = np.asarray(arr)
+        if np.issubdtype(arr.dtype, np.integer):
+            return arr.astype(np.int32)
+        return arr.astype(np.float32)
+
     batch: Dict[str, Any] = {}
     for name in image_names:
-        stacked = np.stack([np.asarray(s[name].data) for s in subjects], axis=0)
-        if np.issubdtype(stacked.dtype, np.integer):
-            stacked = stacked.astype(np.int32)
+        if cache:
+            parts = [s[name].device_mirror(
+                ("collate",), lambda d: jnp.asarray(_cast(d)))
+                for s in subjects]
+            batch[name] = jnp.stack(parts, axis=0)
         else:
-            stacked = stacked.astype(np.float32)
-        batch[name] = jnp.asarray(stacked)
+            stacked = np.stack(
+                [_cast(s[name].data) for s in subjects], axis=0)
+            batch[name] = jnp.asarray(stacked)
     return batch
 
 

@@ -158,7 +158,13 @@ def sliding_window_inference(
         patch_overlap = (patch_overlap,) * 3
     patch_size = tuple(int(p) for p in patch_size)
 
-    if transfer_dtype is None:
+    if isinstance(volume_cf, jax.Array):
+        # already device-resident (PatchPredict cache_inputs): never round
+        # trip through the host; cast (usually a no-op) and transpose on device
+        in_dtype = jnp.dtype(transfer_dtype) if transfer_dtype is not None \
+            else jnp.float32
+        volume = jnp.moveaxis(volume_cf.astype(in_dtype), 0, -1)
+    elif transfer_dtype is None:
         in_dtype = jnp.float32
         volume = jnp.moveaxis(jnp.asarray(volume_cf, jnp.float32), 0, -1)
     else:

@@ -89,7 +89,8 @@ class StandardPredict(Predictor):
     """Whole-image batched prediction (ref prediction.py:57-102)."""
 
     def __init__(self, image_names: Sequence[str] = ("X",), sagittal_split: bool = False,
-                 refine_image: str = None, device_argmax: bool = False):
+                 refine_image: str = None, device_argmax: bool = False,
+                 cache_inputs: Optional[bool] = None):
         image_names = list(image_names)
         if refine_image is not None and refine_image not in image_names:
             image_names.append(refine_image)
@@ -99,9 +100,16 @@ class StandardPredict(Predictor):
         # fetch argmax label ids instead of the C-channel float32 volume and
         # attach the one-hot expansion (see PatchPredict.device_argmax)
         self.device_argmax = device_argmax
+        # cache_inputs: keep each input image's device upload alive on the
+        # subject (Image.device_mirror) so predicting the same unchanged
+        # subjects again — the scheduled-validation sweep — skips the
+        # host->device transfer. None = auto: the trainer enables it when
+        # the validation set is preloaded (static across sweeps).
+        self.cache_inputs = cache_inputs
 
     def predict(self, model, subjects, label_attributes=None):
-        batch = collate_subjects(subjects, image_names=self.image_names)
+        batch = collate_subjects(subjects, image_names=self.image_names,
+                                 cache=bool(self.cache_inputs))
 
         if self.sagittal_split:
             split = split_and_flip(batch["X"])
@@ -148,7 +156,8 @@ class PatchPredict(Predictor):
                  patch_size=None, patch_overlap=(0, 0, 0), padding_mode=None,
                  overlap_mode: str = "average", shape_bucket: int = 0,
                  mesh=None, volume_sharded: bool = False,
-                 device_argmax: bool = False):
+                 device_argmax: bool = False,
+                 cache_inputs: Optional[bool] = None):
         self.image_names = list(image_names)
         self.patch_batch_size = patch_batch_size
         self.patch_size = patch_size
@@ -171,6 +180,13 @@ class PatchPredict(Predictor):
         # the volume itself is W-sharded (for volumes beyond one chip's HBM)
         self.mesh = mesh
         self.volume_sharded = volume_sharded
+        # cache_inputs: keep each subject's padded+cast device upload alive
+        # on the subject (Image.device_mirror) so sweeping the same unchanged
+        # subjects again — the scheduled PatchPredict validation — skips the
+        # per-volume host->device transfer (~0.8 s per msseg2-scale volume on
+        # a 25 MB/s link). None = auto: the trainer enables it when the
+        # validation set is preloaded. Single-device path only.
+        self.cache_inputs = cache_inputs
 
     # static model_fns cached per flax module so repeated predict() calls hit
     # the jit cache (the network variables are passed as traced args — fresh
@@ -347,10 +363,19 @@ class PatchPredict(Predictor):
         # of each padded shape — a new shape means a new program, the only
         # new memory-exhaustion risk; repeats dispatch async at the proven
         # batch size.
+        def _pad_volume(volume, pad):
+            if self.padding_mode in (None, 0):
+                return np.pad(volume, pad)
+            if self.padding_mode == "edge":
+                return np.pad(volume, pad, mode="edge")
+            return np.pad(volume, pad, mode="constant",
+                          constant_values=float(self.padding_mode))
+
         pending = None
         shapes_run = set()
         for subject in subjects:
-            volume = np.asarray(subject["X"].data)
+            image = subject["X"]
+            volume = np.asarray(image.data)
             # pad volumes smaller than the patch (tio.GridSampler padding_mode)
             # and, when bucketing, up to the next shape bucket
             spatial = volume.shape[1:]
@@ -360,14 +385,8 @@ class PatchPredict(Predictor):
                 targets = [((t + b - 1) // b) * b for t in targets]
             pad = [(0, 0)] + [(0, t - s) for t, s in zip(targets, spatial)]
             padded = any(p[1] for p in pad)
-            if padded:
-                if self.padding_mode in (None, 0):
-                    volume = np.pad(volume, pad)
-                elif self.padding_mode == "edge":
-                    volume = np.pad(volume, pad, mode="edge")
-                else:
-                    volume = np.pad(volume, pad, mode="constant",
-                                    constant_values=float(self.padding_mode))
+            if padded and not (self.cache_inputs and self.mesh is None):
+                volume = _pad_volume(volume, pad)
             if self.mesh is not None:
                 from .parallel.halo import (
                     distributed_sliding_window,
@@ -401,6 +420,24 @@ class PatchPredict(Predictor):
                     jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32):
                 # the model casts to this dtype anyway: upload half-size
                 transfer_dtype = compute_dtype
+
+            if self.cache_inputs:
+                # device-resident input: pad+cast+upload once per subject,
+                # reuse on every later sweep (sliding_window_inference takes
+                # the jax array without a host round trip)
+                mirror_key = ("swi", tuple(targets), str(self.padding_mode),
+                              str(jnp.dtype(transfer_dtype))
+                              if transfer_dtype is not None else "float32")
+
+                def _upload(data, pad=pad, padded=padded):
+                    v = np.asarray(data)
+                    if padded:
+                        v = _pad_volume(v, pad)
+                    if transfer_dtype is not None:
+                        v = v.astype(jnp.dtype(transfer_dtype))
+                    return jnp.asarray(v)
+
+                volume = image.device_mirror(mirror_key, _upload)
 
             def run(bs, volume=volume):
                 return sliding_window_inference(

@@ -210,6 +210,11 @@ class SegmentationTrainer:
             print("Preloading validation data...")
             validation_dataset.preload_and_transform_subjects()
             print(f"Done. Took {round(time.time() - t, 2)}s")
+            # preloaded validation subjects are static across sweeps, so the
+            # predictor can keep their device uploads alive (cache_inputs
+            # auto mode; pass cache_inputs=False to opt out)
+            if getattr(self.validation_predictor, "cache_inputs", False) is None:
+                self.validation_predictor.cache_inputs = True
 
         training_iterator = None
         if not self.device_cache:
