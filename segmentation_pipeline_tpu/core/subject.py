@@ -85,6 +85,13 @@ class Image:
     # ---- data access ---------------------------------------------------
     @property
     def data(self) -> np.ndarray:
+        """The raw (C, W, H, D) array. NOTE: this is the backing ndarray,
+        not a copy — writing into it in place (``image.data[...] = v``)
+        bypasses the setter and therefore the device-mirror invalidation.
+        Assign through ``image.data = new`` / ``set_data`` instead (every
+        in-repo transform does); in-place writes are additionally caught by
+        the mirror's sampled fingerprint check on the next hit, but only
+        probabilistically."""
         if self._data is None:
             self.load()
         return self._data
@@ -102,22 +109,59 @@ class Image:
     def set_data(self, value):
         self.data = value
 
+    # max cached device views per image: each distinct (consumer, padding,
+    # dtype) key pins another full-volume copy in HBM, so the cache is a
+    # small LRU rather than unbounded (a preloaded msseg2 validation subject
+    # is ~40-80 MB/entry against a 15.75 GB chip). Raise/lower per deployment
+    # via `Image.DEVICE_MIRROR_MAX = n`; 0 disables caching entirely.
+    DEVICE_MIRROR_MAX = 2
+
+    @staticmethod
+    def _data_fingerprint(arr: np.ndarray):
+        """Cheap sampled fingerprint of an array's contents: shape + dtype +
+        a strided ~1k-element byte sample. Catches (probabilistically) the
+        one way a device mirror can go stale — an in-place write through the
+        raw ``data`` ndarray that bypasses the setter's invalidation."""
+        step = max(1, arr.size // 1024)
+        # .flat[::step] copies only the ~1k sampled elements (reshape(-1)
+        # would copy the whole volume when non-contiguous)
+        return (arr.shape, arr.dtype.str, hash(arr.flat[::step].tobytes()))
+
     def device_mirror(self, key, make):
         """Cached on-device view of this image's data.
 
         ``make(self.data)`` builds the view on a miss; ``key`` identifies the
         variant (dtype/padding/etc.). The cache survives copy/deepcopy (the
         dict is shared by reference — device arrays are immutable) and is
-        dropped whenever ``data`` is reassigned. Every framework transform
-        mutates through the ``data`` setter, so entries can only go stale if
-        caller code writes into ``image.data[...]`` in place — don't.
-        Mirrors are not pickled (multiprocess workers re-upload).
+        dropped whenever ``data`` is reassigned. Entries carry a sampled
+        fingerprint of the source data and rebuild when it changes (in-place
+        writes that bypass the ``data`` setter); the cache holds at most
+        ``DEVICE_MIRROR_MAX`` entries per image (LRU), bounding the HBM
+        pinned per preloaded subject. Mirrors are not pickled (multiprocess
+        workers re-upload).
         """
-        out = self._device_mirror.get(key)
-        if out is None:
-            out = make(self.data)
-            self._device_mirror[key] = out
+        if self.DEVICE_MIRROR_MAX <= 0:
+            return make(self.data)
+        entry = self._device_mirror.get(key)
+        fp = self._data_fingerprint(self.data)
+        if entry is not None and entry[1] == fp:
+            # LRU refresh (the dict is insertion-ordered and shared across
+            # copies; reordering it is safe — values are immutable)
+            self._device_mirror.pop(key, None)
+            self._device_mirror[key] = entry
+            return entry[0]
+        out = make(self.data)
+        self._device_mirror.pop(key, None)
+        self._device_mirror[key] = (out, fp)
+        while len(self._device_mirror) > self.DEVICE_MIRROR_MAX:
+            oldest = next(iter(self._device_mirror))
+            del self._device_mirror[oldest]
         return out
+
+    def clear_device_mirror(self):
+        """Drop every cached device view (frees the HBM they pin once no
+        other reference holds them)."""
+        self._device_mirror.clear()
 
     def __getstate__(self):
         state = self.__dict__.copy()

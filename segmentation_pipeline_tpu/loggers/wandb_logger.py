@@ -6,9 +6,11 @@ generated up front and stored in context metadata for resume
 (ref :63-76), readable run naming (:67-68), retry loop on init (:88-94),
 per-metric min/max/mean summaries (:96-98), source-file snapshot upload on
 the first run only (:100-103), checkpoint write + upload on save_context
-(:107-120), and type-dispatching payload conversion (:20-32).  Uploads use
-``policy='now'`` with symlinking disabled — the reference reimplements
-wandb.save as a copy for the same reason (:122-216).
+(:107-120), and type-dispatching payload conversion (:20-32).  Uploads go
+through ``_wandb_save``, which copies the file into the run directory before
+saving — real ``wandb.save`` symlinks outside paths and uploads their bytes
+lazily, so overwritten checkpoints would upload stale bytes; the reference
+reimplements wandb.save as a copy for the same reason (:122-216).
 """
 from __future__ import annotations
 
@@ -134,16 +136,37 @@ class WandbLogger(Logger):
         if not resuming:  # source snapshot on the first run only (ref :100-103)
             for path in context.file_paths:
                 if path and os.path.exists(path):
-                    wandb.save(str(path), policy="now")
+                    self._wandb_save(path)
 
-    def save_context(self, context, folder: str, iteration: int):
+    @staticmethod
+    def _wandb_save(path):
+        """Upload ``path``'s bytes as they exist NOW.
+
+        Real ``wandb.save`` on a path outside the run directory creates a
+        SYMLINK into the run dir; the sync loop reads the bytes later —
+        by which time an overwritten/rotated checkpoint uploads stale (or
+        missing) bytes. The reference reimplemented wandb.save as a copy
+        for exactly this class of problem (ref wandb_logger.py:122-216);
+        same approach here: copy the file into the run dir and save the
+        in-run-dir copy (which wandb uploads directly, no symlink).
+        """
+        import shutil
+
         import wandb
 
+        src = os.path.abspath(str(path))
+        run_dir = os.path.abspath(wandb.run.dir)
+        dest = os.path.join(run_dir, os.path.basename(src))
+        if dest != src:
+            shutil.copy2(src, dest)
+        wandb.save(dest, base_path=run_dir, policy="now")
+
+    def save_context(self, context, folder: str, iteration: int):
         out_dir = Path(self.save_folder) / folder
         out_dir.mkdir(parents=True, exist_ok=True)
         path = out_dir / f"{context.name}-iter{iteration:08}.ckpt"
         context.save(path)
-        wandb.save(str(path), policy="now")
+        self._wandb_save(path)
         return path
 
     def log(self, log_dict: dict):

@@ -64,6 +64,65 @@ class Predictor(ABC):
         ...
 
 
+class _LazyBatch(dict):
+    """Batch dict whose input-image entries collate on first access.
+
+    PatchPredict's primary consumer — the trainer's scheduled validation
+    sweep — discards the returned batch entirely, so eagerly collating the
+    input volumes would upload each one to the device (~81 MB/volume at
+    msseg2 scale on a 25 MB/s link) for nothing. ``y_pred`` is populated
+    eagerly; the named input images materialize only when indexed, with the
+    predictor's ``cache_inputs`` setting so a materialized entry reuses the
+    sweep's device mirrors.
+    """
+
+    def __init__(self, subjects, image_names, cache: bool):
+        super().__init__()
+        self._subjects = list(subjects)
+        self._lazy = [n for n in image_names]
+        self._cache = cache
+
+    def _materialize(self, key):
+        value = collate_subjects(self._subjects, image_names=[key],
+                                 cache=self._cache)[key]
+        dict.__setitem__(self, key, value)
+        return value
+
+    def __missing__(self, key):
+        if key in self._lazy:
+            return self._materialize(key)
+        raise KeyError(key)
+
+    def __contains__(self, key):
+        return dict.__contains__(self, key) or key in self._lazy
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def _all_keys(self):
+        out = list(dict.keys(self))
+        out += [k for k in self._lazy if not dict.__contains__(self, k)]
+        return out
+
+    def keys(self):
+        return self._all_keys()
+
+    def __iter__(self):
+        return iter(self._all_keys())
+
+    def __len__(self):
+        return len(self._all_keys())
+
+    def items(self):
+        return [(k, self[k]) for k in self._all_keys()]
+
+    def values(self):
+        return [self[k] for k in self._all_keys()]
+
+
 def idx_dtype_for(n_channels: int):
     """Smallest integer dtype holding channel indices (device-argmax fetch)."""
     return jnp.uint8 if n_channels <= 255 else jnp.int32
@@ -464,14 +523,14 @@ class PatchPredict(Predictor):
         if pending is not None:
             finalize(pending)
 
-        batch = collate_subjects(subjects, image_names=self.image_names)
-        if use_argmax:
-            # keep the collated prediction host-side: re-uploading the
-            # C-channel one-hot would spend the very transfer the ids fetch
-            # just avoided
-            batch["y_pred"] = np.stack(preds)
-        else:
-            batch["y_pred"] = jnp.asarray(np.stack(preds))
+        # Contract: batch["y_pred"] is ALWAYS host numpy (N, C, W, H, D) —
+        # the aggregated prediction was fetched per subject anyway, and
+        # re-uploading it (the pre-r3 non-argmax behavior) would spend the
+        # very transfer device_argmax exists to avoid. Input-image entries
+        # collate lazily (the trainer's sweep discards the batch).
+        batch = _LazyBatch(subjects, self.image_names,
+                           cache=bool(self.cache_inputs))
+        batch["y_pred"] = np.stack(preds)
         return out_subjects, batch
 
 

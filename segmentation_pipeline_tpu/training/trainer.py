@@ -212,7 +212,9 @@ class SegmentationTrainer:
             print(f"Done. Took {round(time.time() - t, 2)}s")
             # preloaded validation subjects are static across sweeps, so the
             # predictor can keep their device uploads alive (cache_inputs
-            # auto mode; pass cache_inputs=False to opt out)
+            # auto mode; pass cache_inputs=False to opt out). HBM footprint:
+            # ~n_subjects x padded-volume bytes per cached variant, bounded
+            # at Image.DEVICE_MIRROR_MAX variants per image (core/subject.py)
             if getattr(self.validation_predictor, "cache_inputs", False) is None:
                 self.validation_predictor.cache_inputs = True
 

@@ -37,7 +37,14 @@ from .label import (
     get_mask_from_masking_method,
 )
 from .misc import FindInterestingSlice, ImageFromLabels
-from .random_spatial import RandomAffine, RandomElasticDeformation, RandomFlip
+from .random_spatial import (
+    Affine,
+    ElasticDeformation,
+    RandomAffine,
+    RandomElasticDeformation,
+    RandomFlip,
+    invert_displacement_field_voxels,
+)
 from .spatial import (
     CopyAffine,
     Crop,

@@ -35,29 +35,63 @@ class _StubImage:
 
 
 def make_stub_wandb(fail_inits: int = 0):
+    """Stub wandb that models the REAL library's save semantics: ``save`` on
+    a path outside the run dir creates a SYMLINK into the run dir, and the
+    sync loop reads the bytes asynchronously — modeled here as reading at
+    ``finish()`` — so an overwritten checkpoint uploads stale bytes. The
+    reference reimplemented wandb.save as a copy for exactly this
+    (ref wandb_logger.py:122-216)."""
+    import os
+
     stub = types.ModuleType("wandb")
     stub.calls = {"init": [], "save": [], "log": [], "define_metric": [],
                   "finish": 0}
     stub._fail_inits = fail_inits
+    stub.run = None
+    stub._registered = []  # run-dir paths queued for the sync loop
+    stub.uploaded = {}  # basename -> bytes the sync loop actually read
 
     def init(**kwargs):
         stub.calls["init"].append(kwargs)
         if stub._fail_inits > 0:
             stub._fail_inits -= 1
             raise ConnectionError("transient network failure")
-        return _StubRun(id=kwargs.get("id", "gen"), dir=kwargs.get("dir", "."))
+        files_dir = os.path.join(kwargs.get("dir", "."), "wandb_files")
+        os.makedirs(files_dir, exist_ok=True)
+        stub.run = _StubRun(id=kwargs.get("id", "gen"), dir=files_dir)
+        return stub.run
 
     def save(path, policy=None, base_path=None):
         stub.calls["save"].append((path, policy))
-        return [path]
+        run_dir = os.path.abspath(stub.run.dir)
+        src = os.path.abspath(str(path))
+        if src.startswith(run_dir + os.sep):
+            dest = src  # already in the run dir: uploaded as-is
+        else:
+            # real wandb.save: symlink the outside file into the run dir
+            dest = os.path.join(run_dir, os.path.basename(src))
+            if not os.path.lexists(dest):
+                os.symlink(src, dest)
+        stub._registered.append(dest)
+        return [dest]
+
+    def finish():
+        # the async sync loop: bytes are read whenever it gets to them —
+        # at the latest when the run finishes
+        for dest in stub._registered:
+            try:
+                with open(dest, "rb") as f:
+                    stub.uploaded[os.path.basename(dest)] = f.read()
+            except OSError:
+                stub.uploaded[os.path.basename(dest)] = None  # dangling link
+        stub.calls["finish"] += 1
 
     stub.init = init
     stub.save = save
     stub.log = lambda d: stub.calls["log"].append(d)
     stub.define_metric = lambda name, summary=None: \
         stub.calls["define_metric"].append((name, summary))
-    stub.finish = lambda: stub.calls.__setitem__(
-        "finish", stub.calls["finish"] + 1)
+    stub.finish = finish
     stub.Settings = _StubSettings
     stub.Table = _StubTable
     stub.Image = _StubImage
@@ -145,7 +179,15 @@ class TestSetup:
         ctx.file_paths = [str(src), str(tmp_path / "missing.py")]
         logger.setup(ctx)
         saved = [p for p, _ in stub_wandb.calls["save"]]
-        assert saved == [str(src)]  # existing files only
+        assert len(saved) == 1  # existing files only
+        # uploaded via an in-run-dir COPY (not a symlink to the source)
+        import os
+
+        assert os.path.basename(saved[0]) == "main_config.py"
+        assert os.path.dirname(saved[0]) == os.path.abspath(
+            stub_wandb.run.dir)
+        assert not os.path.islink(saved[0])
+        assert open(saved[0], "rb").read() == src.read_bytes()
 
     def test_metric_summaries_defined(self, stub_wandb, tmp_path):
         logger = _make_logger(stub_wandb, tmp_path)
@@ -190,7 +232,28 @@ class TestSaveContext:
         assert path.name == f"{ctx.name}-iter00000042.ckpt"
         loaded = pickle.load(open(path, "rb"))
         assert "component_definitions" in loaded
-        assert stub_wandb.calls["save"] == [(str(path), "now")]
+        ((saved, policy),) = stub_wandb.calls["save"]
+        import os
+
+        assert policy == "now"
+        assert os.path.basename(saved) == path.name
+        assert os.path.dirname(saved) == os.path.abspath(stub_wandb.run.dir)
+        assert not os.path.islink(saved)
+
+    def test_upload_bytes_captured_at_save_time(self, stub_wandb, tmp_path):
+        """The symlink-staleness regression (VERDICT r2 #7): real wandb.save
+        symlinks outside files and the sync loop reads the bytes later. If a
+        checkpoint is overwritten after save_context, the uploaded bytes must
+        still be the ones written AT save time — the copy-based _wandb_save
+        guarantees it (direct wandb.save(path) fails this test)."""
+        logger = _make_logger(stub_wandb, tmp_path)
+        ctx = _Ctx(tmp_path)
+        logger.setup(ctx)
+        path = logger.save_context(ctx, "checkpoints/", 7)
+        bytes_at_save = path.read_bytes()
+        path.write_bytes(b"OVERWRITTEN-LATER")  # rotation / later re-save
+        logger.close()  # sync loop drains on finish
+        assert stub_wandb.uploaded[path.name] == bytes_at_save
 
 
 class TestLog:
