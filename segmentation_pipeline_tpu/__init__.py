@@ -112,6 +112,7 @@ from .post_processing import (
     unsort_by_size,
 )
 from .typing import PathLike
+from .parallel.mesh import MeshRecipe, make_mesh
 from . import post_processing
 from . import ops, parallel, native  # noqa: F401
 

@@ -18,6 +18,12 @@ from .labeled_tensor import LabeledTensor
 STATS = ("target_volume", "prediction_volume", "TP", "FP", "TN", "FN",
          "dice", "jaccard", "precision", "recall")
 
+#: subject attribute carrying precomputed on-device joint histograms
+#: ({(pred_name, target_name): {"joint": (L+1, L+1), "label_values": {...}}}),
+#: written by training/device_confusion.py after its probe sweep proves the
+#: device reduction matches this module's host math exactly
+DEVICE_CONFUSION_KEY = "_device_confusion"
+
 
 def confusion_stats(pred: np.ndarray, target: np.ndarray, label_values: dict) -> dict:
     """pred/target: (C, W, H, D) integer label maps. Returns
@@ -48,23 +54,40 @@ def confusion_stats(pred: np.ndarray, target: np.ndarray, label_values: dict) ->
                 lut[v] = i
         joint = confusion_joint_hist_native(target, pred, lut, L)
 
-    out = {stat: {} for stat in STATS}
     if joint is not None:
-        diag = np.diag(joint)[:L].astype(np.float64)
-        row = joint.sum(axis=1)[:L].astype(np.float64)  # target counts
-        col = joint.sum(axis=0)[:L].astype(np.float64)  # prediction counts
-        per_label = [(diag[i], row[i] - diag[i], col[i] - diag[i])
-                     for i in range(L)]
-    else:
-        per_label = []
-        for v in values:
-            p = pred == v
-            t = target == v
-            tp = float(np.logical_and(t, p).sum())
-            fp = float(np.logical_and(~t, p).sum())
-            fn = float(np.logical_and(t, ~p).sum())
-            per_label.append((tp, fn, fp))
+        return stats_from_joint(joint, names)
 
+    out = {stat: {} for stat in STATS}
+    per_label = []
+    for v in values:
+        p = pred == v
+        t = target == v
+        tp = float(np.logical_and(t, p).sum())
+        fp = float(np.logical_and(~t, p).sum())
+        fn = float(np.logical_and(t, ~p).sum())
+        per_label.append((tp, fn, fp))
+    _fill_stats(out, names, per_label, n_vox)
+    return out
+
+
+def stats_from_joint(joint: np.ndarray, names: Sequence[str]) -> dict:
+    """Derive every per-label stat from an (L+1) x (L+1) joint confusion
+    histogram (row = target bucket, col = prediction bucket, bucket L =
+    other) — shared by the host native path and the on-device reduction
+    (ops/confusion.py), which must agree bit-exactly."""
+    L = len(names)
+    n_vox = float(joint.sum())
+    diag = np.diag(joint)[:L].astype(np.float64)
+    row = joint.sum(axis=1)[:L].astype(np.float64)  # target counts
+    col = joint.sum(axis=0)[:L].astype(np.float64)  # prediction counts
+    per_label = [(diag[i], row[i] - diag[i], col[i] - diag[i])
+                 for i in range(L)]
+    out = {stat: {} for stat in STATS}
+    _fill_stats(out, names, per_label, n_vox)
+    return out
+
+
+def _fill_stats(out, names, per_label, n_vox):
     for name, (tp, fn, fp) in zip(names, per_label):
         tn = n_vox - tp - fp - fn
         out["target_volume"][name] = tp + fn
@@ -77,7 +100,6 @@ def confusion_stats(pred: np.ndarray, target: np.ndarray, label_values: dict) ->
         out["jaccard"][name] = _div(tp, tp + fp + fn)
         out["precision"][name] = _div(tp, tp + fp)
         out["recall"][name] = _div(tp, tp + fn)
-    return out
 
 
 def _div(a: float, b: float) -> float:
@@ -100,8 +122,21 @@ class SegmentationEvaluator(Evaluator):
         self.stats_to_output = stats_to_output
         self.summary_stats_to_output = summary_stats_to_output
 
+    def _device_entry(self, subject):
+        entries = subject.get(DEVICE_CONFUSION_KEY)
+        if isinstance(entries, dict):
+            return entries.get((self.prediction_label_map_name,
+                                self.target_label_map_name))
+        return None
+
     def __call__(self, subjects):
-        label_values = subjects[0][self.prediction_label_map_name]["label_values"]
+        entry0 = self._device_entry(subjects[0])
+        if entry0 is not None:
+            # confusion-only sweeps don't attach the eval images at all
+            label_values = entry0["label_values"]
+        else:
+            label_values = \
+                subjects[0][self.prediction_label_map_name]["label_values"]
         label_names = list(label_values.keys())
         subject_names = [s["name"] for s in subjects]
 
@@ -110,9 +145,15 @@ class SegmentationEvaluator(Evaluator):
             dim_keys=[subject_names, label_names, list(self.stats_to_output)])
 
         for subject in subjects:
-            pred = np.asarray(subject[self.prediction_label_map_name].data)
-            target = np.asarray(subject[self.target_label_map_name].data)
-            stats = confusion_stats(pred, target, label_values)
+            entry = self._device_entry(subject)
+            if entry is not None:
+                # precomputed on device (probe-validated bit-exact against
+                # this host path; training/device_confusion.py)
+                stats = stats_from_joint(entry["joint"], label_names)
+            else:
+                pred = np.asarray(subject[self.prediction_label_map_name].data)
+                target = np.asarray(subject[self.target_label_map_name].data)
+                stats = confusion_stats(pred, target, label_values)
             for label_name in label_names:
                 for stat_name in self.stats_to_output:
                     subject_stats[subject["name"], label_name, stat_name] = \

@@ -163,7 +163,8 @@ def _affine_coords_oob(A, spatial, dtype=jnp.float32):
     return jnp.stack(cs), oob
 
 
-def _affine_stage(do, A, X, y, pad_value=0.0, batching="map"):
+def _affine_stage(do, A, X, y, pad_value=0.0, batching="map",
+                  gather_dtype=None):
     """Batched affine warp stage (direct trilinear gather).
 
     batching picks how the per-sample warp maps over the batch:
@@ -180,6 +181,14 @@ def _affine_stage(do, A, X, y, pad_value=0.0, batching="map"):
     automatically).
 
     Samples with do=False warp by the identity and are select-restored.
+
+    gather_dtype (config key "warp_gather_dtype"): gather the IMAGE taps
+    from a copy of the source cast to this dtype — bfloat16 halves the
+    warp's HBM read traffic (the gather is bandwidth-bound; measured ~9%
+    off the trilinear warp on v5e, PARITY.md "Source-dtype levers") at the
+    cost of rounding each tap to 8 mantissa bits before the f32 blend.
+    Labels are unaffected (nearest-neighbor copies ride the uint8-ids fast
+    path already). Default None = exact f32 taps.
 
     CLOSED investigation (see benchmarks/bench_warp_gather.py and
     PARITY.md): a shear-decomposed warp (LDU / 9-shear passes of per-row
@@ -201,8 +210,9 @@ def _affine_stage(do, A, X, y, pad_value=0.0, batching="map"):
         # positions on large volumes (the blend then runs in the image
         # dtype; the result is cast back so both lax.cond branches agree)
         coords, ob = _affine_coords_oob(a, spatial, jnp.float32)
+        src = xx if gather_dtype is None else xx.astype(gather_dtype)
         x_out = jnp.where(ob[..., None], pad_value,
-                          trilinear_sample(xx, coords)).astype(xx.dtype)
+                          trilinear_sample(src, coords)).astype(xx.dtype)
         if yy is None:
             return x_out, None
         y_out = trilinear_sample(yy, coords, nearest=True)
@@ -332,6 +342,10 @@ DEFAULT_CONFIG = dict(
     gamma_p=0.8, log_gamma=(-0.3, 0.3),
     noise_p=0.35, noise_std=0.1,
     rescale=(-1.0, 1.0), rescale_percentiles=(0.5, 99.5),
+    # "bfloat16" gathers the affine warp's image taps from a bf16 copy of
+    # the source (~9% off the HBM-bound warp, PARITY.md "Source-dtype
+    # levers") at 8-mantissa-bit tap precision; None = exact f32
+    warp_gather_dtype=None,
 )
 
 
@@ -438,7 +452,10 @@ def _augment_batch_jit(key, X, y, config_items):
             < cfg["affine_p"]
         A = jax.vmap(lambda k: draw_affine_matrix(
             k[2], cfg["affine_scales"], cfg["affine_degrees"]))(keys)
-        X, y = _affine_stage(do, A, X, y, batching=batching)
+        gd = cfg.get("warp_gather_dtype")
+        X, y = _affine_stage(
+            do, A, X, y, batching=batching,
+            gather_dtype=jnp.bfloat16 if gd in ("bfloat16", "bf16") else None)
 
     if y is None:
         X = per_sample(lambda k, x: _augment_post(k, x, None, cfg)[0],

@@ -83,6 +83,192 @@ def compact_labels(device_labels) -> Tuple[np.ndarray, int]:
     return out, int(len(uniques) - (1 if has_bg else 0))
 
 
+def _neighbor_max(values: jnp.ndarray, connectivity: int = 1) -> jnp.ndarray:
+    """Grey dilation: max over the cross/full neighborhood INCLUDING self
+    (skimage.morphology.dilation semantics — the footprint contains the
+    center), out-of-bounds treated as -inf. values: (W, H, D) int32."""
+    padded = jnp.pad(values, 1, constant_values=-_INF)
+    W, H, D = values.shape
+    best = values
+    for dw in (-1, 0, 1):
+        for dh in (-1, 0, 1):
+            for dd in (-1, 0, 1):
+                if dw == dh == dd == 0:
+                    continue
+                manhattan = abs(dw) + abs(dh) + abs(dd)
+                if connectivity == 1 and manhattan > 1:
+                    continue
+                if connectivity == 2 and manhattan > 2:
+                    continue
+                shifted = lax.dynamic_slice(padded, (1 + dw, 1 + dh, 1 + dd),
+                                            (W, H, D))
+                best = jnp.maximum(best, shifted)
+    return best
+
+
+def _component_sizes(labels: jnp.ndarray) -> jnp.ndarray:
+    """Voxel count per component id for non-compact CC output (ids are
+    smallest-flat-index+1, so the histogram spans W*H*D+1 buckets; one
+    scatter-add — the device analog of np.bincount). sizes[0] (background)
+    is zeroed."""
+    n = labels.size
+    sizes = (jnp.zeros((n + 1,), jnp.int32)
+             .at[jnp.clip(labels.ravel(), 0, n)].add(1))
+    return sizes.at[0].set(0)
+
+
+def _bg_hole_mask(img: jnp.ndarray, hole_size: int,
+                  cc_max_iterations: int) -> jnp.ndarray:
+    """skimage.remove_small_holes semantics on device: background components
+    (connectivity 1, scipy generate_binary_structure(3,1)) of size <=
+    hole_size."""
+    mask = img > 0
+    bg_cc = connected_components_device(jnp.logical_not(mask), connectivity=1,
+                                        max_iterations=cc_max_iterations)
+    sizes = _component_sizes(bg_cc)
+    small = jnp.take(sizes, jnp.clip(bg_cc, 0, bg_cc.size)) <= hole_size
+    return jnp.logical_and(jnp.logical_not(mask),
+                           jnp.logical_and(small, bg_cc > 0))
+
+
+@partial(jax.jit, static_argnames=("hole_size", "max_dilations",
+                                   "cc_max_iterations"))
+def remove_holes_device(img: jnp.ndarray, hole_size: int,
+                        max_dilations: int = 100,
+                        cc_max_iterations: int = 256):
+    """Device counterpart of post_processing.remove_holes (ref
+    post_processing.py:51-65): fill background components of size <=
+    hole_size, hole voxels adopting labels from iterative grey dilation of
+    the surrounding label image.  img: (W, H, D) integer label ids.
+    Returns (filled img int32, total_holes int32 scalar).
+
+    Exact parity with the host path (tests/test_device_morphology.py);
+    the CC sweep cap (cc_max_iterations >= max component diameter) is the
+    only approximation knob — leave the default unless volumes exceed
+    ~256-voxel serpentine holes."""
+    img = jnp.asarray(img).astype(jnp.int32)
+
+    def cond(state):
+        _, _, it, done = state
+        return jnp.logical_and(jnp.logical_not(done), it < max_dilations)
+
+    def body(state):
+        cur, total, it, _ = state
+        holes = _bg_hole_mask(cur, hole_size, cc_max_iterations)
+        num = jnp.sum(holes)
+        total = jnp.where(it == 0, num, total)
+        filled = jnp.where(holes, _neighbor_max(cur, 1), cur)
+        return filled, total, it + 1, num == 0
+
+    img, total, _, _ = lax.while_loop(
+        cond, body, (img, jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
+    return img, total
+
+
+@partial(jax.jit, static_argnames=("num", "num_classes", "max_dilations",
+                                   "cc_max_iterations"))
+def keep_components_device(img: jnp.ndarray, num: int, num_classes: int = 256,
+                           max_dilations: int = 100,
+                           cc_max_iterations: int = 256):
+    """Device counterpart of post_processing.keep_components (ref
+    post_processing.py:28-47): keep the ``num`` largest 26-connected
+    components of img > 0; removed voxels are filled by iteratively grey-
+    dilating the survivors into them — matching the host path's size-rank
+    dilation (larger components win contested voxels).  img: (W, H, D)
+    integer label ids < num_classes.  Returns (img int32,
+    num_components_removed, num_elements_removed).
+
+    Tie divergence (documented in PARITY.md): when several components share
+    the num-th largest size, the device path keeps ALL of them; the host
+    path keeps the later-labeled ones up to exactly ``num``."""
+    img = jnp.asarray(img).astype(jnp.int32)
+
+    def cond(state):
+        _, _, _, it, done = state
+        return jnp.logical_and(jnp.logical_not(done), it < max_dilations)
+
+    def body(state):
+        cur, comp_removed, elems_removed, it, _ = state
+        cc = connected_components_device(cur > 0, connectivity=3,
+                                         max_iterations=cc_max_iterations)
+        sizes = _component_sizes(cc)
+        n_comp = jnp.sum(sizes > 0)
+        thr = lax.top_k(sizes, num)[0][-1]  # num-th largest size
+        keep = jnp.logical_and(cc > 0,
+                               jnp.take(sizes, jnp.clip(cc, 0, cc.size))
+                               >= jnp.maximum(thr, 1))
+        remove = jnp.logical_and(cur > 0, jnp.logical_not(keep))
+        comp_removed = jnp.where(
+            it == 0, jnp.maximum(n_comp - num, 0), comp_removed)
+        elems_removed = jnp.where(it == 0, jnp.sum(remove), elems_removed)
+
+        # Host parity (ref post_processing.py:28-47 through sort_by_size):
+        # dilation runs on size-ranked label VALUES — background included at
+        # its own (usually highest) rank, so removed voxels bordering
+        # background become background and the largest-total-size label wins
+        # contested voxels; removed voxels enter the dilation at rank 0,
+        # exactly like the host's `sorted_img * keep` masking. Ranks are
+        # (count asc, value asc), matching np.argsort(counts, stable) over
+        # np.unique's ascending values; absent values (count 0) rank below
+        # every present value and never appear in the input.
+        counts = (jnp.zeros((num_classes,), jnp.int32)
+                  .at[jnp.clip(cur.ravel(), 0, num_classes - 1)].add(1))
+        order = jnp.argsort(counts, stable=True)
+        rank_of = jnp.zeros((num_classes,), jnp.int32).at[order].set(
+            jnp.arange(num_classes, dtype=jnp.int32))
+        ranks = jnp.take(rank_of, cur)
+        to_dilate = jnp.where(remove, 0, ranks)
+        dilated = _neighbor_max(to_dilate, 1)
+        change = jnp.logical_and(dilated != to_dilate, remove)
+        # unchanged removed voxels keep their original label until a later
+        # sweep's dilation reaches them (host: sorted_img only overwritten
+        # at `change`)
+        nxt = jnp.take(order, jnp.where(change, dilated, ranks))
+        return nxt, comp_removed, elems_removed, it + 1, jnp.sum(remove) == 0
+
+    img, comp_removed, elems_removed, _, _ = lax.while_loop(
+        cond, body,
+        (img, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
+    return img, comp_removed, elems_removed
+
+
+@partial(jax.jit, static_argnames=("component_size", "max_dilations",
+                                   "cc_max_iterations"))
+def remove_small_components_device(img: jnp.ndarray, component_size: int,
+                                   max_dilations: int = 100,
+                                   cc_max_iterations: int = 256):
+    """Device counterpart of post_processing.remove_small_components (ref
+    post_processing.py:68-73): foreground components smaller than
+    component_size are holes of the inverted mask.  Returns (img int32,
+    num_removed_voxels)."""
+    img = jnp.asarray(img).astype(jnp.int32)
+    inverted = (img == 0).astype(jnp.int32)
+    holes_removed, counts = remove_holes_device(
+        inverted, component_size, max_dilations=max_dilations,
+        cc_max_iterations=cc_max_iterations)
+    return jnp.where(holes_removed > 0, 0, img), counts
+
+
+def apply_device_postprocess(ids: jnp.ndarray, steps, num_classes: int
+                             ) -> jnp.ndarray:
+    """Run an ordered [(op, arg), ...] device post-processing chain on an
+    argmax ids volume — the fused inference -> cleanup -> compact-fetch
+    path (SURVEY §2.3; predictors call this before the bit-packed ids
+    fetch).  ops: 'remove_holes', 'keep_components',
+    'remove_small_components'."""
+    for op, arg in steps:
+        if op == "remove_holes":
+            ids, _ = remove_holes_device(ids, int(arg))
+        elif op == "keep_components":
+            ids, _, _ = keep_components_device(ids, int(arg),
+                                               num_classes=num_classes)
+        elif op == "remove_small_components":
+            ids, _ = remove_small_components_device(ids, int(arg))
+        else:
+            raise ValueError(f"Unknown device postprocess op {op!r}")
+    return ids
+
+
 @partial(jax.jit, static_argnames=("connectivity", "iterations"))
 def binary_dilation_device(mask: jnp.ndarray, connectivity: int = 1,
                            iterations: int = 1) -> jnp.ndarray:

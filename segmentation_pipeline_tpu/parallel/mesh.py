@@ -16,6 +16,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+class MeshRecipe:
+    """Picklable stand-in for a jax Mesh: device handles are process-local,
+    so checkpoints (training/context.py) and pickled predictors store the
+    (axis_names, shape) recipe and rebuild over this process's
+    jax.devices() on restore."""
+
+    def __init__(self, axis_names, shape):
+        self.axis_names = tuple(axis_names)
+        self.shape = tuple(shape)
+
+    @classmethod
+    def of(cls, mesh: Mesh) -> "MeshRecipe":
+        return cls(mesh.axis_names, mesh.devices.shape)
+
+    def build(self) -> Mesh:
+        n = int(np.prod(self.shape))
+        devices = jax.devices()
+        if len(devices) < n:
+            raise RuntimeError(
+                f"Checkpoint mesh {dict(zip(self.axis_names, self.shape))} "
+                f"needs {n} devices but only {len(devices)} are available")
+        return Mesh(np.asarray(devices[:n]).reshape(self.shape),
+                    self.axis_names)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",),
               shape: Optional[Sequence[int]] = None) -> Mesh:
     """Build a mesh over the first n devices. Default: 1-D 'data' mesh over

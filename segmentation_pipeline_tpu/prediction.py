@@ -123,6 +123,13 @@ class _LazyBatch(dict):
         return [self[k] for k in self._all_keys()]
 
 
+# the transform types whose inverses produce evaluation-space labels
+# (add_evaluation_labels and the device-confusion LUT probe must agree on
+# this set; ref prediction.py:155-170)
+EVAL_LABEL_TYPES = (LabelTransform, CopyProperty, RenameProperty,
+                    ConcatenateImages)
+
+
 def idx_dtype_for(n_channels: int):
     """Smallest integer dtype holding channel indices (device-argmax fetch)."""
     return jnp.uint8 if n_channels <= 255 else jnp.int32
@@ -159,6 +166,9 @@ class StandardPredict(Predictor):
         # fetch argmax label ids instead of the C-channel float32 volume and
         # attach the one-hot expansion (see PatchPredict.device_argmax)
         self.device_argmax = device_argmax
+        # transient per-sweep device-confusion plan (trainer-installed;
+        # training/device_confusion.py)
+        self._confusion_plan = None
         # cache_inputs: keep each input image's device upload alive on the
         # subject (Image.device_mirror) so predicting the same unchanged
         # subjects again — the scheduled-validation sweep — skips the
@@ -188,6 +198,20 @@ class StandardPredict(Predictor):
         n_ch = y_pred.shape[1]
         if self.device_argmax and n_ch > 1:
             ids_dev = jnp.argmax(y_pred, axis=1).astype(idx_dtype_for(n_ch))
+            plan = self._confusion_plan
+            if plan is not None:
+                # device confusion reduction (see PatchPredict.finalize)
+                joint_pairs = []
+                for i, subject in enumerate(subjects):
+                    res = plan.device_joint(subject, ids_dev[i], n_ch)
+                    if res is not None:
+                        joint_pairs.append((subject, res))
+                if joint_pairs:
+                    plan.deliver(joint_pairs)
+                if plan.skip_fetch and len(joint_pairs) == len(subjects):
+                    # validated confusion-only sweep: only counts crossed
+                    # the link; no predictions are attached
+                    return list(subjects), batch
             if n_ch <= 255:
                 from .ops.bitpack import fetch_ids
 
@@ -216,7 +240,8 @@ class PatchPredict(Predictor):
                  overlap_mode: str = "average", shape_bucket: int = 0,
                  mesh=None, volume_sharded: bool = False,
                  device_argmax: bool = False,
-                 cache_inputs: Optional[bool] = None):
+                 cache_inputs: Optional[bool] = None,
+                 device_postprocess: Optional[Sequence] = None):
         self.image_names = list(image_names)
         self.patch_batch_size = patch_batch_size
         self.patch_size = patch_size
@@ -246,6 +271,41 @@ class PatchPredict(Predictor):
         # a 25 MB/s link). None = auto: the trainer enables it when the
         # validation set is preloaded. Single-device path only.
         self.cache_inputs = cache_inputs
+        # device_postprocess: ordered [(op, arg), ...] connected-component
+        # cleanup fused onto the sliding-window output BEFORE the bit-packed
+        # ids fetch (ops/morphology.apply_device_postprocess; requires
+        # device_argmax). Ops: 'remove_holes', 'keep_components',
+        # 'remove_small_components' — exact parity with the host
+        # post_processing functions (tests/test_device_morphology.py).
+        # Runs in MODEL space (pre-inverse-transform), which matches the
+        # msseg2 competition chain (cleanup before resample-back, ref
+        # ms-inference.py:47-60); pipelines that clean up in ORIGINAL space
+        # after inversion (hippo_inference) must keep the host calls.
+        self.device_postprocess = (list(device_postprocess)
+                                   if device_postprocess else None)
+
+    # transient per-sweep plan installed by the trainer's device-confusion
+    # machinery (training/device_confusion.py); never pickled
+    _confusion_plan = None
+
+    # Meshes hold process-local device handles; pickle the (axis_names,
+    # shape) recipe instead and rebuild on load (a PatchPredict is a trainer
+    # component, so it rides inside every checkpoint).
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_confusion_plan", None)
+        if state.get("mesh") is not None:
+            from .parallel.mesh import MeshRecipe
+
+            state["mesh"] = MeshRecipe.of(state["mesh"])
+        return state
+
+    def __setstate__(self, state):
+        from .parallel.mesh import MeshRecipe
+
+        if isinstance(state.get("mesh"), MeshRecipe):
+            state["mesh"] = state["mesh"].build()
+        self.__dict__.update(state)
 
     # static model_fns cached per flax module so repeated predict() calls hit
     # the jit cache (the network variables are passed as traced args — fresh
@@ -392,11 +452,39 @@ class PatchPredict(Predictor):
 
         out_subjects = []
         preds = []
+        plan = self._confusion_plan if use_argmax else None
+        joint_pairs = []
 
         def finalize(rec):
             """Fetch, unpad and attach one dispatched prediction (in subject
             order — callers flush older records before appending newer)."""
             subject, spatial, padded, y_pred = rec
+            if use_argmax and self.device_postprocess:
+                # fused cleanup on the aggregated ids, still on device —
+                # the bit-packed fetch below ships the CLEANED segmentation
+                from .ops.morphology import apply_device_postprocess
+
+                if padded:
+                    y_pred = y_pred[:spatial[0], :spatial[1], :spatial[2]]
+                    padded = False
+                y_pred = apply_device_postprocess(
+                    y_pred, self.device_postprocess, n_ch).astype(
+                        idx_dtype_for(n_ch))
+            if plan is not None:
+                # device confusion reduction: histogram the argmax ids
+                # against the subject's (mirrored) eval target ON DEVICE so
+                # the sweep fetches (L+1)^2 counts, not an ids volume
+                ids_c = y_pred[:spatial[0], :spatial[1], :spatial[2]] \
+                    if padded else y_pred
+                res = plan.device_joint(subject, ids_c, n_ch)
+                if res is not None:
+                    joint_pairs.append((subject, res))
+                    if plan.skip_fetch:
+                        # validated confusion-only sweep: nothing else is
+                        # consumed downstream — skip the fetch and attach
+                        out_subjects.append(subject)
+                        preds.append(None)
+                        return
             if use_argmax:
                 if n_ch <= 255:
                     from .ops.bitpack import fetch_ids
@@ -523,21 +611,28 @@ class PatchPredict(Predictor):
         if pending is not None:
             finalize(pending)
 
+        if joint_pairs:
+            plan.deliver(joint_pairs)  # ONE batched fetch of all counts
+
         # Contract: batch["y_pred"] is ALWAYS host numpy (N, C, W, H, D) —
         # the aggregated prediction was fetched per subject anyway, and
         # re-uploading it (the pre-r3 non-argmax behavior) would spend the
         # very transfer device_argmax exists to avoid. Input-image entries
-        # collate lazily (the trainer's sweep discards the batch).
+        # collate lazily (the trainer's sweep discards the batch). Sole
+        # exception: a validated confusion-only sweep (trainer-installed
+        # plan with skip_fetch) attaches no predictions at all — y_pred is
+        # None and only the per-subject device counts exist.
         batch = _LazyBatch(subjects, self.image_names,
                            cache=bool(self.cache_inputs))
-        batch["y_pred"] = np.stack(preds)
+        batch["y_pred"] = (np.stack(preds)
+                           if not any(p is None for p in preds) else None)
         return out_subjects, batch
 
 
 def add_evaluation_labels(subjects: Sequence[Subject]):
     """Invert the label-only part of each subject's history on 'y_pred'/'y'
     and attach 'y_pred_eval'/'y_eval' (ref prediction.py:155-170)."""
-    label_types = [LabelTransform, CopyProperty, RenameProperty, ConcatenateImages]
+    label_types = list(EVAL_LABEL_TYPES)
     for subject in subjects:
         records = subject.get_composed_history()
 

@@ -59,27 +59,9 @@ class _FunctionPayload:
         return _FunctionPayload(cloudpickle.dumps(value))
 
 
-class _MeshRecipe:
-    """Picklable stand-in for a jax Mesh: device handles are process-local,
-    so checkpoints store the (axis_names, shape) recipe and rebuild over
-    this process's jax.devices() on restore."""
-
-    def __init__(self, axis_names, shape):
-        self.axis_names = tuple(axis_names)
-        self.shape = tuple(shape)
-
-    def build(self):
-        import jax
-        from jax.sharding import Mesh
-
-        n = int(np.prod(self.shape))
-        devices = jax.devices()
-        if len(devices) < n:
-            raise RuntimeError(
-                f"Checkpoint mesh {dict(zip(self.axis_names, self.shape))} "
-                f"needs {n} devices but only {len(devices)} are available")
-        return Mesh(np.asarray(devices[:n]).reshape(self.shape),
-                    self.axis_names)
+# MeshRecipe now lives in parallel/mesh.py (predictors pickle through it
+# too); the old private name is kept for checkpoints that stored it.
+from ..parallel.mesh import MeshRecipe as _MeshRecipe  # noqa: E402
 
 
 def _make_picklable(value):

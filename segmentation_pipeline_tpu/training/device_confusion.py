@@ -1,0 +1,250 @@
+"""Self-validating on-device confusion reduction for validation sweeps.
+
+Ref anchor: evaluators/segmentation_evaluator.py:74-90 computes per-class
+TP/FP/FN/TN on host from fetched volumes.  When the scheduled validation
+sweep only needs those counts (every evaluator is a SegmentationEvaluator on
+('y_pred_eval', 'y_eval') and the predictor runs device_argmax), fetching an
+ids volume per subject just to histogram it on host wastes the link: the
+joint histogram is computed ON DEVICE (ops/confusion.py) and only
+(L+1)^2 scalars cross per subject (VERDICT r2 #4).
+
+Correctness is not assumed, it is PROVEN per run: the first eligible sweep
+runs BOTH paths — the full fetch → add_evaluation_labels → host-histogram
+chain and the device reduction — and compares the integer counts exactly for
+every subject and label.  Only on exact agreement does the manager switch
+"on" (subsequent sweeps skip the fetch/attach/inverse entirely); any
+mismatch — e.g. a spatially-varying label inversion the channel-LUT probe
+cannot represent — permanently disables it for the run ("off", host path).
+
+The device path's prediction side maps raw argmax CHANNEL ids through
+per-channel FULL-SHAPE bucket maps built by probing the SAME inverse
+machinery add_evaluation_labels uses (prediction.py EVAL_LABEL_TYPES): for
+each channel c, a constant one-hot volume (channel c hot everywhere) runs
+through the inversion, recording what channel c becomes AT EVERY VOXEL.
+This represents any per-voxel (value, position) map — including the
+spatially-MASKED remaps the dmri_hippo config inverts with
+(CustomRemapLabels(masking_method='Right'), configs/main_config.py:138-143)
+— and the probe sweep verifies the assumption holds for the actual
+pipeline.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Dict, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.subject import LabelMap, Subject
+from ..evaluators.segmentation_evaluator import (
+    SegmentationEvaluator,
+    confusion_stats,
+    stats_from_joint,
+)
+from ..ops.confusion import (
+    bucketed_joint_from_channel_ids,
+    bucketize_values,
+    value_lut,
+)
+from ..transforms.base import apply_inverse_on_new_subject
+
+#: the attribute predictors attach per-subject device joints under and the
+#: SegmentationEvaluator fast path reads from
+CONFUSION_KEY = "_device_confusion"
+
+_EVAL_NAMES = ("y_pred_eval", "y_eval")
+_COUNT_STATS = ("TP", "FP", "TN", "FN")
+
+
+def eligible_sweep(scheduled, predictor) -> bool:
+    """True when this sweep's evaluators can all be served by device
+    confusion counts: every scheduled evaluator is a SegmentationEvaluator
+    on ('y_pred_eval', 'y_eval') and the predictor argmaxes on device."""
+    if not getattr(predictor, "device_argmax", False):
+        return False
+    if not scheduled:
+        return False
+    return all(
+        isinstance(s.evaluator, SegmentationEvaluator)
+        and s.evaluator.prediction_label_map_name == _EVAL_NAMES[0]
+        and s.evaluator.target_label_map_name == _EVAL_NAMES[1]
+        for s in scheduled)
+
+
+class DeviceConfusionManager:
+    """Per-training-run state machine: "probe" -> "on" | "off".
+
+    Doubles as the plan object predictors consume (duck interface:
+    ``device_joint``, ``deliver``, ``skip_fetch``)."""
+
+    def __init__(self, label_attributes: Optional[dict] = None):
+        self.state = "probe"
+        self.label_attributes = label_attributes or {}
+        # per-subject caches, keyed by subject name (+ data fingerprint for
+        # the host target cache; the device upload is staleness-guarded by
+        # Image.device_mirror's own fingerprint)
+        self._target_cache: Dict = {}
+        self._lut_cache: Dict = {}
+        self._probe_stats: Dict = {}
+
+    # ------------------------------------------------------------------
+    # plan interface used by predictors
+    # ------------------------------------------------------------------
+
+    @property
+    def skip_fetch(self) -> bool:
+        return self.state == "on"
+
+    def _eval_records(self, subject):
+        from ..prediction import EVAL_LABEL_TYPES
+        from ..transforms.base import filter_records
+
+        return filter_records(subject.get_composed_history(),
+                              include_types=EVAL_LABEL_TYPES)
+
+    def _channel_maps_for(self, subject, n_ch: int):
+        """(per-channel bucket maps (C, W, H, D) uint8/int32, eval
+        label_values, value LUT) for this subject's history.
+
+        For each channel c the probe one-hot volume — channel c hot at
+        EVERY voxel — runs through the same filtered inverse records
+        add_evaluation_labels applies; the result records what an argmax of
+        c at voxel (w, h, d) becomes in eval space.  Exact for any
+        per-voxel (value, position) map, including masked remaps."""
+        spatial = tuple(np.asarray(subject["y"].data).shape[1:])
+        key = (subject["name"], n_ch, spatial, len(subject.history))
+        hit = self._lut_cache.get(key)
+        if hit is not None:
+            return hit
+        records = self._eval_records(subject)
+        label_values = None
+        channel_vals = []
+        for c in range(n_ch):
+            probe = np.zeros((n_ch, *spatial), np.float32)
+            probe[c] = 1.0
+            image = LabelMap(tensor=probe,
+                             **copy.deepcopy(self.label_attributes))
+            if "X" in subject:
+                image.affine = subject["X"].affine.copy()
+            out = apply_inverse_on_new_subject(
+                records, Subject({"y": image}), warn=False)
+            inv = out.get_first_image()
+            vals = np.asarray(inv.data)
+            if vals.shape != (1, *spatial):
+                raise ValueError(
+                    f"label inversion changed the probe's shape "
+                    f"({vals.shape}) — not a per-voxel value map")
+            channel_vals.append(vals[0].astype(np.int64))
+            if label_values is None:
+                label_values = dict(inv["label_values"])
+        L = len(label_values)
+        vmax = max(int(v.max(initial=0)) for v in channel_vals)
+        vlut = value_lut(label_values, vmax=vmax)
+        maps = np.stack([bucketize_values(v, vlut, L + 1)
+                         for v in channel_vals])
+        result = (maps, label_values, vlut)
+        self._lut_cache[key] = result
+        return result
+
+    def _target_idx(self, subject, vlut: np.ndarray, L: int) -> np.ndarray:
+        """Bucketed eval-space target ids (W, H, D) for this subject —
+        y inverted through the same label-transform records, then mapped
+        into bucket space with the prediction image's value LUT (exactly
+        what confusion_stats does on host)."""
+        key = (subject["name"], vlut.tobytes())
+        fp = subject["y"]._data_fingerprint(subject["y"].data)
+        hit = self._target_cache.get(key)
+        if hit is not None and hit[1] == fp:
+            return hit[0]
+        target_subject = Subject({"y": copy.deepcopy(subject["y"])})
+        out = apply_inverse_on_new_subject(
+            self._eval_records(subject), target_subject, warn=False)
+        ids = np.asarray(out.get_first_image().data)[0]
+        idx = bucketize_values(ids, vlut, L + 1)
+        self._target_cache[key] = (idx, fp)
+        return idx
+
+    def device_joint(self, subject, pred_channel_ids, n_ch: int):
+        """Device (L+1, L+1) joint for one subject, or None when the subject
+        cannot be covered (no target, probe failure).  pred_channel_ids:
+        device (W, H, D) argmax channel ids, already cropped to the
+        subject's true spatial shape."""
+        if self.state == "off" or "y" not in subject:
+            return None
+        try:
+            maps, label_values, vlut = self._channel_maps_for(subject, n_ch)
+            L = len(label_values)
+            target_host = self._target_idx(subject, vlut, L)
+            if tuple(target_host.shape) != tuple(pred_channel_ids.shape) \
+                    or tuple(maps.shape[1:]) != tuple(pred_channel_ids.shape):
+                return None
+            t_dev = subject["y"].device_mirror(
+                ("confusion_idx", vlut.tobytes()),
+                lambda _data: jnp.asarray(
+                    self._target_idx(subject, vlut, L)))
+            maps_dev = subject["y"].device_mirror(
+                ("confusion_maps", n_ch, vlut.tobytes()),
+                lambda _data: jnp.asarray(
+                    self._channel_maps_for(subject, n_ch)[0]))
+            joint = bucketed_joint_from_channel_ids(
+                t_dev, pred_channel_ids, maps_dev, L + 1)
+            return (joint, label_values)
+        except Exception as e:  # noqa: BLE001 — any probe failure = host path
+            if self.state == "probe":
+                print(f"device confusion probe failed for "
+                      f"{subject.get('name')}: {e} — using the host path")
+            self.state = "off"
+            return None
+
+    def deliver(self, pairs: Sequence) -> None:
+        """Fetch all pending device joints in ONE transfer and attach the
+        per-subject entries the evaluator fast path consumes.
+        pairs: [(subject, (device_joint, label_values)), ...]."""
+        if not pairs:
+            return
+        stacked = np.asarray(jnp.stack([j for _, (j, _) in pairs]))
+        for (subject, (_, label_values)), joint in zip(pairs, stacked):
+            entry = subject.get(CONFUSION_KEY)
+            if not isinstance(entry, dict):
+                entry = {}
+                subject[CONFUSION_KEY] = entry
+            entry[_EVAL_NAMES] = {"joint": joint,
+                                  "label_values": dict(label_values)}
+            if self.state == "probe":
+                self._probe_stats[subject["name"]] = \
+                    stats_from_joint(joint, list(label_values.keys()))
+
+    # ------------------------------------------------------------------
+    # probe-sweep validation (trainer side)
+    # ------------------------------------------------------------------
+
+    def validate_probe(self, subjects) -> None:
+        """Compare the device counts captured this sweep against the host
+        chain's, subject by subject, exactly.  All-equal -> "on"; any
+        mismatch or missing subject -> "off"."""
+        if self.state != "probe":
+            return
+        for subject in subjects:
+            name = subject["name"]
+            device_stats = self._probe_stats.get(name)
+            if device_stats is None or _EVAL_NAMES[0] not in subject \
+                    or _EVAL_NAMES[1] not in subject:
+                self.state = "off"
+                return
+            label_values = subject[_EVAL_NAMES[0]]["label_values"]
+            host = confusion_stats(
+                np.asarray(subject[_EVAL_NAMES[0]].data),
+                np.asarray(subject[_EVAL_NAMES[1]].data), label_values)
+            for stat in _COUNT_STATS:
+                for label in label_values:
+                    if host[stat][label] != device_stats[stat].get(label):
+                        print(f"device confusion mismatch on {name} "
+                              f"{label}.{stat}: host {host[stat][label]} vs "
+                              f"device {device_stats[stat].get(label)} — "
+                              f"using the host path")
+                        self.state = "off"
+                        return
+        self._probe_stats.clear()
+        self.state = "on"
+        print("device confusion validated: validation sweeps now reduce "
+              "on device (fetching counts, not volumes)")

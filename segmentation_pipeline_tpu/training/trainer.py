@@ -79,7 +79,8 @@ class SegmentationTrainer:
                  spatial_axis: Optional[str] = None,
                  compute_dtype: Optional[str] = None,
                  device_cache: bool = False,
-                 defer_metric_fetch: bool = True):
+                 defer_metric_fetch: bool = True,
+                 device_confusion: Optional[bool] = None):
         self.training_batch_size = training_batch_size
         self.save_rate = save_rate
         self.scoring_interval = scoring_interval
@@ -124,6 +125,14 @@ class SegmentationTrainer:
         # One D2H round trip costs ~24 ms on high-latency links (PARITY.md),
         # which is ~12% of a dmri iteration. Set False to log synchronously.
         self.defer_metric_fetch = defer_metric_fetch
+        # on-device validation confusion reduction: when a sweep's
+        # evaluators are all SegmentationEvaluators on (y_pred_eval, y_eval)
+        # and the validation predictor argmaxes on device, per-class counts
+        # are reduced ON DEVICE and only (L+1)^2 scalars are fetched per
+        # subject. Self-validating: the first eligible sweep runs BOTH paths
+        # and the device path only takes over on exact count agreement
+        # (training/device_confusion.py). None/True = enabled, False = off.
+        self.device_confusion = device_confusion
 
         self.iteration = 0
         self.max_score = float("-inf")
@@ -234,6 +243,13 @@ class SegmentationTrainer:
         # (ref :153-158)
         y_sample = training_dataset[0]["y"]
         label_attributes = dict(y_sample.metadata)
+
+        # per-run device-confusion state machine (probe -> on/off)
+        confusion_mgr = None
+        if self.device_confusion is not False:
+            from .device_confusion import DeviceConfusionManager
+
+            confusion_mgr = DeviceConfusionManager(label_attributes)
 
         # Build the fused train step
         model = context.model
@@ -589,12 +605,33 @@ class SegmentationTrainer:
                     validation_dataloader = self.validation_dataloader_factory.get_data_loader(
                         dataset=validation_dataset, batch_size=validation_batch_size,
                         num_workers=num_workers)
+                    use_dev_confusion = False
+                    if confusion_mgr is not None \
+                            and confusion_mgr.state != "off":
+                        from .device_confusion import eligible_sweep
+
+                        use_dev_confusion = eligible_sweep(
+                            scheduled_validation, self.validation_predictor)
                     validation_subjects = []
                     for val_subjects in validation_dataloader:
-                        val_subjects, _ = self.validation_predictor.predict(
-                            model, val_subjects, label_attributes=label_attributes)
-                        add_evaluation_labels(val_subjects)
+                        if use_dev_confusion:
+                            self.validation_predictor._confusion_plan = \
+                                confusion_mgr
+                        try:
+                            val_subjects, _ = self.validation_predictor.predict(
+                                model, val_subjects,
+                                label_attributes=label_attributes)
+                        finally:
+                            self.validation_predictor._confusion_plan = None
+                        # confusion-only subjects (validated device counts,
+                        # no fetched prediction) need no eval-label inversion
+                        add_evaluation_labels(
+                            [s for s in val_subjects if "y_pred" in s])
                         validation_subjects += val_subjects
+                    if use_dev_confusion and confusion_mgr.state == "probe":
+                        # first eligible sweep ran BOTH paths: switch the
+                        # device reduction on only on exact count agreement
+                        confusion_mgr.validate_probe(validation_subjects)
                     validation_subjects_map = {s["name"]: s for s in validation_subjects}
                     timer.stamp("model_forward_evaluation")
 

@@ -37,10 +37,18 @@ _EPOCH = 0
 
 
 def seed_all(seed: int):
+    """Reset every host RNG domain: the per-thread transform Generators
+    (spawned from the shared SeedSequence), numpy's legacy global state, and
+    Python's ``random`` module (which drives sampler shuffles in
+    data/loader.py — without this, batch composition varies run to run)."""
+    import random as _pyrandom
+
     global _SEED_SEQ, _EPOCH
     with _RNG_LOCK:
         _SEED_SEQ = np.random.SeedSequence(seed)
         _EPOCH += 1
+        _pyrandom.seed(seed)
+        np.random.seed(seed % (2 ** 32))
 
 
 def get_rng() -> np.random.Generator:

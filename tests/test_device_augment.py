@@ -134,6 +134,28 @@ class TestAugmentBatch:
         np.testing.assert_array_equal(np.argmax(np.asarray(y_onehot), -1),
                                       np.asarray(y_ids))
 
+    def test_bf16_warp_gather_option(self):
+        """warp_gather_dtype="bfloat16" (VERDICT r2 #9: the measured ~9%
+        HBM lever) rounds only the affine warp's image taps: the output
+        must track the exact-f32 pipeline within bf16 tap precision, the
+        same random stream (identical geometry), and labels — which ride
+        the nearest-neighbor ids path untouched — must stay bit-identical."""
+        rng = np.random.default_rng(33)
+        X = jnp.asarray(rng.normal(size=(3, 12, 14, 8, 2)).astype(np.float32))
+        ids = rng.integers(0, 3, size=(3, 12, 14, 8)).astype(np.uint8)
+        key = jax.random.PRNGKey(5)
+        cfg = {"affine_p": 1.0, "elastic_p": 0.0, "bias_p": 0.0,
+               "gamma_p": 0.0, "noise_p": 0.0}
+        Xf, yf = augment_batch(key, X, jnp.asarray(ids), config=cfg)
+        Xb, yb = augment_batch(key, X, jnp.asarray(ids),
+                               config={**cfg, "warp_gather_dtype": "bfloat16"})
+        assert Xb.dtype == Xf.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(yb), np.asarray(yf))
+        # outputs are rescaled to [-1, 1]; bf16 taps carry ~2^-8 relative
+        # rounding, amplified slightly by the percentile rescale
+        np.testing.assert_allclose(np.asarray(Xb), np.asarray(Xf), atol=0.03)
+        assert not np.array_equal(np.asarray(Xb), np.asarray(Xf))
+
     def test_per_sample_independence(self):
         X = jnp.asarray(np.tile(np.random.default_rng(9).normal(
             size=(1, 8, 8, 8, 1)).astype(np.float32), (2, 1, 1, 1, 1)))

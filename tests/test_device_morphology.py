@@ -1,0 +1,115 @@
+"""Device post-processing pipelines (VERDICT r2 #3): exact parity of the
+fused on-device remove_holes / keep_components / remove_small_components
+chains against the host native-C++ path (post_processing.py, ref
+post_processing.py:28-73)."""
+import numpy as np
+import pytest
+from scipy import ndimage as ndi
+
+from segmentation_pipeline_tpu.ops.morphology import (
+    apply_device_postprocess,
+    keep_components_device,
+    remove_holes_device,
+    remove_small_components_device,
+)
+from segmentation_pipeline_tpu.post_processing import (
+    keep_components,
+    remove_holes,
+    remove_small_components,
+)
+
+
+def _blobby_labels(seed, shape=(28, 24, 20), n_classes=3, density=0.18,
+                   grow=2):
+    """Random multi-label volume with blobs, holes and small islands —
+    component sizes are generically distinct (the device keep_components
+    tie-break divergence never triggers)."""
+    rng = np.random.default_rng(seed)
+    mask = rng.random(shape) < density
+    mask = ndi.binary_dilation(mask, iterations=grow)
+    labels = np.zeros(shape, np.int32)
+    # label by connected component round-robin over classes 1..n_classes-1
+    cc, n = ndi.label(mask, structure=np.ones((3, 3, 3)))
+    for comp in range(1, n + 1):
+        labels[cc == comp] = 1 + (comp % (n_classes - 1))
+    # punch holes
+    holes = rng.random(shape) < 0.03
+    labels[holes] = 0
+    return labels
+
+
+class TestRemoveHolesDevice:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_host(self, seed):
+        img = _blobby_labels(seed)
+        host, host_holes = remove_holes(img.copy(), hole_size=24)
+        dev, dev_holes = remove_holes_device(img, hole_size=24)
+        np.testing.assert_array_equal(np.asarray(dev), host)
+        assert int(dev_holes) == host_holes
+
+    def test_no_holes_noop(self):
+        img = np.zeros((8, 8, 8), np.int32)
+        img[2:6, 2:6, 2:6] = 1
+        dev, holes = remove_holes_device(img, hole_size=10)
+        np.testing.assert_array_equal(np.asarray(dev), img)
+        assert int(holes) == 0
+
+
+class TestKeepComponentsDevice:
+    @pytest.mark.parametrize("seed,num", [(0, 2), (1, 1), (2, 3)])
+    def test_matches_host(self, seed, num):
+        img = _blobby_labels(seed)
+        host, host_comp, host_elems = keep_components(img.copy(), num)
+        dev, dev_comp, dev_elems = keep_components_device(
+            img, num, num_classes=4)
+        np.testing.assert_array_equal(np.asarray(dev), host)
+        assert int(dev_comp) == host_comp
+        assert int(dev_elems) == host_elems
+
+    def test_fewer_components_than_num(self):
+        img = np.zeros((10, 10, 6), np.int32)
+        img[1:4, 1:4, 1:4] = 2
+        host, hc, he = keep_components(img.copy(), 3)
+        dev, dc, de = keep_components_device(img, 3, num_classes=4)
+        np.testing.assert_array_equal(np.asarray(dev), host)
+        assert (int(dc), int(de)) == (hc, he) == (0, 0)
+
+
+class TestRemoveSmallComponentsDevice:
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_matches_host(self, seed):
+        img = _blobby_labels(seed)
+        host, host_counts = remove_small_components(img.copy(), 20)
+        dev, dev_counts = remove_small_components_device(img, 20)
+        np.testing.assert_array_equal(np.asarray(dev), host)
+        assert int(dev_counts) == host_counts
+
+
+class TestFusedChain:
+    def test_msseg2_style_chain(self):
+        """The ms_inference cleanup order (remove_holes(64) then
+        remove_small_components(3), ref ms-inference.py:47-51) fused on
+        device equals the host chain voxel-for-voxel."""
+        img = _blobby_labels(7, n_classes=2)
+        host, _ = remove_holes(img.copy(), hole_size=64)
+        host, _ = remove_small_components(host, 3)
+        dev = np.asarray(apply_device_postprocess(
+            img, [("remove_holes", 64), ("remove_small_components", 3)],
+            num_classes=2))
+        np.testing.assert_array_equal(dev, host)
+
+    def test_hippo_style_chain(self):
+        """The hippo_inference cleanup order (remove_holes(64) then
+        keep_components, ref hippo_inference.py:36-50)."""
+        img = _blobby_labels(9)
+        host, _ = remove_holes(img.copy(), hole_size=64)
+        host, _, _ = keep_components(host, 2)
+        dev = np.asarray(apply_device_postprocess(
+            img, [("remove_holes", 64), ("keep_components", 2)],
+            num_classes=4))
+        np.testing.assert_array_equal(dev, host)
+
+    def test_unknown_op_raises(self):
+        with pytest.raises(ValueError):
+            apply_device_postprocess(np.zeros((4, 4, 4), np.int32),
+                                     [("erode", 1)], num_classes=2)

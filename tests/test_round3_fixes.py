@@ -167,3 +167,50 @@ class TestImageRegionEvaluatorGolden:
         # fix_tensor maps the all-nan 'empty' region to 0.0 in the summary
         # (LabeledTensor nan/inf robustness, ref labeled_tensor.py:95-101)
         assert float(summary["mean", "empty", "mean"]) == 0.0
+
+
+class TestSeedAllCoversEveryRngDomain:
+    """seed_all must reset Python's ``random`` module too: RandomSampler
+    shuffles with it (data/loader.py:89), so leaving it unseeded made the
+    training batch composition — and therefore the whole loss trajectory —
+    vary run to run even under identical seeds (found as a divergence
+    between same-seed trainer runs at iteration 0)."""
+
+    def test_python_random_is_reset(self):
+        import random
+
+        from segmentation_pipeline_tpu import seed_all
+
+        seed_all(123)
+        a = [random.random() for _ in range(5)]
+        shuffle_a = list(range(10))
+        random.shuffle(shuffle_a)
+        seed_all(123)
+        b = [random.random() for _ in range(5)]
+        shuffle_b = list(range(10))
+        random.shuffle(shuffle_b)
+        assert a == b
+        assert shuffle_a == shuffle_b
+
+    def test_numpy_global_is_reset(self):
+        from segmentation_pipeline_tpu import seed_all
+
+        seed_all(7)
+        a = np.random.random(4)
+        seed_all(7)
+        b = np.random.random(4)
+        np.testing.assert_array_equal(a, b)
+
+    def test_random_sampler_order_is_deterministic(self):
+        from segmentation_pipeline_tpu import seed_all
+        from segmentation_pipeline_tpu.data.loader import RandomSampler
+
+        class _D:
+            def __len__(self):
+                return 12
+
+        seed_all(42)
+        a = list(iter(RandomSampler(_D())))
+        seed_all(42)
+        b = list(iter(RandomSampler(_D())))
+        assert a == b
