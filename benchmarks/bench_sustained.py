@@ -43,6 +43,18 @@ class _TimedLogger:
         pass
 
 
+def _device_aug_config():
+    """DEVICE_AUG=0 -> None; WARP_GATHER=bfloat16 taps the affine warp's
+    image gathers from a bf16 source copy (PARITY.md "Source-dtype levers")."""
+    if os.environ.get("DEVICE_AUG", "1") != "1":
+        return None
+    cfg = {}
+    gd = os.environ.get("WARP_GATHER")
+    if gd:
+        cfg["warp_gather_dtype"] = gd
+    return cfg
+
+
 def build(root: Path):
     import segmentation_pipeline_tpu as sp
 
@@ -122,10 +134,11 @@ def build(root: Path):
             sampler=sp.RandomSampler),
         validation_dataloader_factory=sp.StandardDataLoader(
             sampler=sp.SequentialSampler),
-        device_augmentation=(
-            {} if os.environ.get("DEVICE_AUG", "1") == "1" else None),
+        device_augmentation=_device_aug_config(),
         compute_dtype=os.environ.get("COMPUTE_DTYPE") or None,
-        device_cache=os.environ.get("DEVICE_CACHE", "0") == "1")
+        device_cache=os.environ.get("DEVICE_CACHE", "0") == "1",
+        device_confusion=(
+            False if os.environ.get("DEVICE_CONFUSION", "1") == "0" else None))
     return context
 
 
@@ -209,10 +222,11 @@ def build_msseg2(root: Path):
                                        probability_map="patch_probability")),
         validation_dataloader_factory=sp.StandardDataLoader(
             sampler=sp.SequentialSampler),
-        device_augmentation=(
-            {} if os.environ.get("DEVICE_AUG", "1") == "1" else None),
+        device_augmentation=_device_aug_config(),
         compute_dtype=os.environ.get("COMPUTE_DTYPE") or None,
-        device_cache=os.environ.get("DEVICE_CACHE", "0") == "1")
+        device_cache=os.environ.get("DEVICE_CACHE", "0") == "1",
+        device_confusion=(
+            False if os.environ.get("DEVICE_CONFUSION", "1") == "0" else None))
     return context
 
 
@@ -267,7 +281,9 @@ def main():
                        "compute_dtype": os.environ.get("COMPUTE_DTYPE"),
                        "device_aug": os.environ.get("DEVICE_AUG", "1"),
                        "device_cache": os.environ.get("DEVICE_CACHE", "0"),
-                       "eval_interval": os.environ.get("EVAL_INTERVAL", "0")},
+                       "eval_interval": os.environ.get("EVAL_INTERVAL", "0"),
+                       "device_confusion": os.environ.get("DEVICE_CONFUSION", "1"),
+                       "warp_gather": os.environ.get("WARP_GATHER")},
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,184 @@
+"""Reference-budget soak: the dmri_hippo (or msseg2) trainer loop run for
+thousands of iterations with the config's REAL cadences — scheduled
+validation sweeps, periodic checkpoints, scoring + best-checkpoint rotation
+— asserting that nothing degrades or leaks across compiles and sweeps.
+
+The reference trains under an 8h/100k-iteration SLURM budget with
+early-stop patience 2000 (ref research/dmri_hippo/run.py:31,
+configs/main_config.py:196, scripts/slurm/dmri_seg_job.sh:3-8); this soak
+compresses that envelope into a measurable slice: ITERS iterations (default
+2000 = one full patience window) with sweeps every EVAL_INTERVAL (250),
+checkpoints every SAVE_RATE (250), scoring every SCORING_INTERVAL (50).
+
+Health checks recorded (and asserted when ASSERT=1):
+- flat ms/iter: last-quartile mean within DRIFT_TOL (default 15%) of the
+  second-quartile mean (quartile 1 absorbs warmup compiles)
+- flat host RSS: growth from the 25% mark to the end under RSS_TOL MB
+  (default 256)
+- flat device HBM: bytes_in_use at the end within HBM_TOL bytes of the
+  25% mark (default 64 MB)
+- checkpoints + best-checkpoint rotation actually happened
+
+Prints one JSON line; PARITY.md "Reference-budget soak" records the runs.
+"""
+import json
+import os
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return float("nan")
+
+
+def _hbm_bytes():
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return int(stats.get("bytes_in_use", 0))
+    except Exception:
+        return None
+
+
+class _SoakLogger:
+    """Wall stamps + RSS/HBM samples every SAMPLE_EVERY iterations; counts
+    checkpoint saves per folder."""
+
+    def __init__(self, sample_every: int):
+        self.sample_every = sample_every
+        self.wall = []
+        self.samples = []  # (iteration, rss_mb, hbm_bytes)
+        self.saves = {}
+        self.scores = []
+
+    def setup(self, context):
+        pass
+
+    def save_context(self, context, folder, iteration):
+        self.saves.setdefault(folder, []).append(iteration)
+
+    def log(self, log_dict):
+        self.wall.append(time.time())
+        it = len(self.wall) - 1
+        if "model_score" in log_dict:
+            self.scores.append((it, float(log_dict["model_score"])))
+        if it % self.sample_every == 0:
+            self.samples.append((it, _rss_mb(), _hbm_bytes()))
+
+    def close(self):
+        pass
+
+
+def main():
+    from benchmarks.bench_sustained import build, build_msseg2
+
+    workload = os.environ.get("WORKLOAD", "dmri")
+    iters = int(os.environ.get("ITERS", "2000" if workload == "dmri"
+                               else "400"))
+    batch = int(os.environ.get("BATCH", "4"))
+    sample_every = max(1, iters // 40)
+
+    # the config's real cadences (overridable)
+    os.environ.setdefault("EVAL_INTERVAL", "250")
+    os.environ.setdefault("DEVICE_CACHE", "1")
+    os.environ.setdefault("PRELOAD_VAL", "1")
+    save_rate = int(os.environ.get("SAVE_RATE", "250"))
+    scoring_interval = int(os.environ.get("SCORING_INTERVAL", "50"))
+
+    tmp = Path(tempfile.mkdtemp(prefix="soak_"))
+    try:
+        context = build(tmp) if workload == "dmri" else build_msseg2(tmp)
+        context.init_components()
+        trainer = context.trainer
+        trainer.save_rate = save_rate
+        trainer.scoring_interval = scoring_interval
+        trainer.scoring_function = lambda d: -d["loss"]
+
+        logger = _SoakLogger(sample_every)
+        t0 = time.time()
+        trainer.train(context, max_iterations=iters, logger=logger,
+                      preload_training_data=True,
+                      preload_validation_data=(
+                          os.environ.get("PRELOAD_VAL", "0") == "1"))
+        wall_total = time.time() - t0
+
+        wall = np.array(logger.wall)
+        n = len(wall)
+        iter_ms = np.diff(wall) * 1000
+        q = max(1, n // 4)
+        q2 = float(iter_ms[q:2 * q].mean())          # post-warmup reference
+        q4 = float(iter_ms[-q:].mean())              # final quartile
+        drift = (q4 - q2) / q2
+        # startup/compile accounting: wall time not explained by the
+        # steady-state rate (first-shape compiles, sweep compiles, probe)
+        pct = {f"p{p}": round(float(np.percentile(iter_ms, p)), 1)
+               for p in (50, 90, 99)}
+        overhead_s = round(wall_total - n * q2 / 1000, 1)
+
+        samples = logger.samples
+        k25 = max(1, len(samples) // 4)
+        rss_25, rss_end = samples[k25][1], samples[-1][1]
+        hbm_25, hbm_end = samples[k25][2], samples[-1][2]
+        rss_growth_mb = rss_end - rss_25
+        hbm_growth = (hbm_end - hbm_25) if (hbm_end and hbm_25) else 0
+
+        ckpts = len(logger.saves.get("checkpoints/", []))
+        best = len(logger.saves.get("best_checkpoints/", []))
+
+        result = {
+            "metric": f"{workload} reference-budget soak",
+            "iterations": n,
+            "wall_s": round(wall_total, 1),
+            "throughput": round(n * batch / wall_total, 2),
+            "unit": "volumes/sec" if workload == "dmri" else "patches/sec",
+            "iter_ms_q2": round(q2, 1),
+            "iter_ms_q4": round(q4, 1),
+            "iter_ms_drift_pct": round(drift * 100, 1),
+            "iter_ms_percentiles": pct,
+            "startup_overhead_s": overhead_s,
+            "rss_mb_25pct": round(rss_25, 1),
+            "rss_mb_end": round(rss_end, 1),
+            "rss_growth_mb": round(rss_growth_mb, 1),
+            "hbm_25pct": hbm_25,
+            "hbm_end": hbm_end,
+            "hbm_growth_bytes": hbm_growth,
+            "checkpoints": ckpts,
+            "best_checkpoint_rotations": best,
+            "scoring_points": len(logger.scores),
+            "final_score": logger.scores[-1][1] if logger.scores else None,
+            "config": {"iters": iters, "batch": batch,
+                       "eval_interval": os.environ["EVAL_INTERVAL"],
+                       "save_rate": save_rate,
+                       "scoring_interval": scoring_interval,
+                       "device_cache": os.environ["DEVICE_CACHE"]},
+        }
+        print(json.dumps(result))
+
+        if os.environ.get("ASSERT", "1") == "1":
+            drift_tol = float(os.environ.get("DRIFT_TOL", "0.15"))
+            rss_tol = float(os.environ.get("RSS_TOL", "256"))
+            hbm_tol = int(os.environ.get("HBM_TOL", str(64 << 20)))
+            assert drift < drift_tol, \
+                f"ms/iter drifted {drift:.1%} (q2 {q2:.1f} -> q4 {q4:.1f})"
+            assert rss_growth_mb < rss_tol, \
+                f"host RSS grew {rss_growth_mb:.0f} MB"
+            assert abs(hbm_growth) < hbm_tol, \
+                f"device HBM grew {hbm_growth} bytes"
+            assert ckpts >= iters // save_rate, "checkpoint cadence missed"
+            assert best >= 1, "best-checkpoint rotation never happened"
+            print("SOAK OK")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
