@@ -82,13 +82,14 @@ def post_process_subjects(subjects, image_name):
 
 def main(ensemble_path, dataset_path, run_name, output_filename=None, out_folder="",
          ensemble_flips=False, ensemble_folds=False, cohort=None, num_workers=0,
-         batch_size=4, batched_tta=False, tta_mesh=False):
+         batch_size=4, batched_tta=False, tta_mesh=False, ensemble_affines=0):
     input_args = dict(ensemble_path=str(ensemble_path), dataset_path=str(dataset_path),
                       run_name=run_name, output_filename=output_filename,
                       out_folder=str(out_folder), ensemble_flips=ensemble_flips,
                       ensemble_folds=ensemble_folds, cohort=str(cohort),
                       num_workers=num_workers, batch_size=batch_size,
-                      batched_tta=batched_tta, tta_mesh=tta_mesh)
+                      batched_tta=batched_tta, tta_mesh=tta_mesh,
+                      ensemble_affines=ensemble_affines)
 
     # batched_tta folds the 2^k flips into one forward; tta_mesh additionally
     # shards that folded batch over all local devices (SPMD flip-TTA).
@@ -108,6 +109,14 @@ def main(ensemble_path, dataset_path, run_name, output_filename=None, out_folder
             context.model = EnsembleFlips(context.model, strategy="majority",
                                           spatial_dims=(3, 4),
                                           batched=batched_tta, mesh=mesh)
+        if ensemble_affines:
+            # affine-family TTA (invertible-warp members, masked majority);
+            # composes with flip TTA when both are requested
+            from segmentation_pipeline_tpu import EnsembleAffines
+            context.model = EnsembleAffines(
+                context.model, num_members=ensemble_affines,
+                scales=0.1, degrees=10, strategy="majority",
+                batched=batched_tta, mesh=mesh)
         contexts.append(context)
     print("Loaded models.")
 
@@ -160,10 +169,17 @@ if __name__ == "__main__":
     parser.add_argument("--out-folder", default="")
     parser.add_argument("--ensemble-flips", action="store_true")
     parser.add_argument("--ensemble-folds", action="store_true")
+    parser.add_argument("--ensemble-affines", type=int, default=0,
+                        help="affine-TTA member count (0 = off)")
     parser.add_argument("--cohort", default=None)
     parser.add_argument("--num-workers", type=int, default=0)
     parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--batched-tta", action="store_true",
+                        help="fold TTA members into one forward")
+    parser.add_argument("--tta-mesh", action="store_true",
+                        help="shard the folded TTA batch over local devices")
     a = parser.parse_args()
     main(a.ensemble_path, a.dataset_path, a.run_name, a.output_filename,
          a.out_folder, a.ensemble_flips, a.ensemble_folds, a.cohort,
-         a.num_workers, a.batch_size)
+         a.num_workers, a.batch_size, a.batched_tta, a.tta_mesh,
+         a.ensemble_affines)

@@ -62,7 +62,8 @@ from .models import (
     StochasticMatrix,
     WSConv3d,
 )
-from .models.ensemble import EnsembleFlips, EnsembleModels, EnsembleOrientations
+from .models.ensemble import (EnsembleAffines, EnsembleFlips, EnsembleModels,
+                              EnsembleOrientations)
 from .prediction import (
     PatchPredict,
     Predictor,

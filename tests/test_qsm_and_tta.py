@@ -169,3 +169,106 @@ class TestBatchedShardedTTA:
         sharded3 = np.asarray(EnsembleFlips(seg_model, "mean",
                                             spatial_dims=(3, 4), mesh=mesh)(x3))
         np.testing.assert_allclose(sharded3, ref3, atol=1e-5)
+
+
+class TestEnsembleAffines:
+    """Affine-family TTA (the capability the reference inherits from
+    torchio's invertible Affine history, ref hippo_inference.py:27-32):
+    warp -> forward -> inverse-warp -> masked combine."""
+
+    @pytest.fixture(scope="class")
+    def seg_model(self):
+        import jax.numpy as jnp
+
+        from segmentation_pipeline_tpu.models.nested_unet import NestedResUNet
+        from segmentation_pipeline_tpu.training.model import SegModel
+
+        model = SegModel(NestedResUNet(input_channels=1, output_channels=2,
+                                       filters=4), seed=0)
+        model.ensure_initialized(jnp.zeros((1, 1, 8, 8, 8)))
+        return model
+
+    @pytest.fixture(scope="class")
+    def x(self):
+        return np.random.default_rng(5).normal(
+            size=(2, 1, 8, 8, 8)).astype(np.float32)
+
+    def test_identity_member_only_is_direct_forward(self, seg_model, x):
+        from segmentation_pipeline_tpu.models.ensemble import EnsembleAffines
+
+        tta = EnsembleAffines(seg_model, num_members=1)
+        np.testing.assert_allclose(np.asarray(tta(x)),
+                                   np.asarray(seg_model(x)), atol=1e-6)
+
+    def test_constant_model_survives_warp_round_trip(self):
+        """Inverse-interpolating a constant field is exact, so TTA over any
+        matrices must reproduce the constant everywhere (plumbing + mask
+        normalization check)."""
+        import jax.numpy as jnp
+
+        from segmentation_pipeline_tpu.models.ensemble import EnsembleAffines
+
+        def const_model(x):
+            n = jnp.asarray(x).shape[0]
+            spatial = jnp.asarray(x).shape[2:]
+            p = jnp.full((n, 1, *spatial), 0.3, jnp.float32)
+            return jnp.concatenate([p, 1 - p], axis=1)
+
+        x = np.random.default_rng(0).normal(size=(1, 1, 10, 10, 10)
+                                            ).astype(np.float32)
+        out = np.asarray(EnsembleAffines(const_model, num_members=5,
+                                         scales=0.2, degrees=30)(x))
+        np.testing.assert_allclose(out[:, 0], 0.3, atol=1e-5)
+        np.testing.assert_allclose(out[:, 1], 0.7, atol=1e-5)
+
+    def test_linear_field_round_trip_interior(self):
+        """Trilinear interpolation reproduces linear functions exactly, so a
+        model that echoes a linear ramp comes back unchanged in the region
+        every member covers (boundary voxels are masked or clamped)."""
+        import jax.numpy as jnp
+
+        from segmentation_pipeline_tpu.models.ensemble import EnsembleAffines
+
+        def echo_model(x):
+            x = jnp.asarray(x)
+            return jnp.concatenate([x, 1 - x], axis=1)
+
+        W = 12
+        ramp = (np.arange(W, dtype=np.float32) / (2 * W))[:, None, None]
+        x = np.broadcast_to(ramp, (W, W, W))[None, None].copy()
+        out = np.asarray(EnsembleAffines(echo_model, num_members=3,
+                                         scales=0.05, degrees=5, seed=1)(x))
+        c = slice(3, W - 3)
+        np.testing.assert_allclose(out[0, 0, c, c, c], x[0, 0, c, c, c],
+                                   atol=1e-4)
+
+    def test_batched_matches_unrolled(self, seg_model, x):
+        from segmentation_pipeline_tpu.models.ensemble import EnsembleAffines
+
+        ref = np.asarray(EnsembleAffines(seg_model, num_members=3,
+                                         seed=2)(x))
+        fused = np.asarray(EnsembleAffines(seg_model, num_members=3,
+                                           seed=2, batched=True)(x))
+        np.testing.assert_allclose(fused, ref, atol=1e-5)
+
+    def test_mesh_sharded_matches_unrolled(self, seg_model, x):
+        from segmentation_pipeline_tpu.models.ensemble import EnsembleAffines
+        from segmentation_pipeline_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # 3 members x batch 2 = 6 rows -> pad to 8
+        ref = np.asarray(EnsembleAffines(seg_model, num_members=3,
+                                         seed=2)(x))
+        sharded = np.asarray(EnsembleAffines(seg_model, num_members=3,
+                                             seed=2, mesh=mesh)(x))
+        np.testing.assert_allclose(sharded, ref, atol=1e-5)
+
+    def test_majority_is_one_hot_and_deterministic(self, seg_model, x):
+        from segmentation_pipeline_tpu.models.ensemble import EnsembleAffines
+
+        out1 = np.asarray(EnsembleAffines(seg_model, num_members=4,
+                                          strategy="majority", seed=7)(x))
+        out2 = np.asarray(EnsembleAffines(seg_model, num_members=4,
+                                          strategy="majority", seed=7)(x))
+        np.testing.assert_array_equal(out1, out2)
+        assert set(np.unique(out1)) <= {0.0, 1.0}
+        np.testing.assert_allclose(out1.sum(axis=1), 1.0)

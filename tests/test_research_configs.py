@@ -128,6 +128,26 @@ class TestDmriHippoConfig:
         assert set(np.unique(data)) <= {0, 1, 2}
         assert (out / "testrun.json").exists()
 
+    def test_hippo_inference_affine_tta(self, trained_hippo, hippo_root,
+                                        tmp_path_factory):
+        """--ensemble-affines wraps the model in affine-TTA (invertible-warp
+        members, masked majority) and the CLI still restores the original
+        grid with hard labels."""
+        _, logger = trained_hippo
+        out = tmp_path_factory.mktemp("preds_affine")
+        hippo_inference.main(
+            ensemble_path=logger.run_dir / "checkpoints",
+            dataset_path=str(hippo_root), run_name="affinetta",
+            out_folder=str(out), cohort="cbbrain_validation", batch_size=2,
+            ensemble_affines=3)
+        pred_files = list(out.glob("subjects/*/dmri-hippo.nii.gz"))
+        assert len(pred_files) == 2
+        data, _ = sp.read_nifti(pred_files[0])
+        assert data.shape == (1, 36, 28, 10)
+        assert set(np.unique(data)) <= {0, 1, 2}
+        settings = json.loads((out / "affinetta.json").read_text())
+        assert settings["ensemble_affines"] == 3
+
     def test_evaluate_cli(self, trained_hippo, hippo_root, tmp_path_factory):
         _, logger = trained_hippo
         out = tmp_path_factory.mktemp("preds2")
