@@ -55,8 +55,24 @@ def connected_components_device(mask: jnp.ndarray, connectivity: int = 3,
     """
     mask = jnp.asarray(mask) > 0
     W, H, D = mask.shape
-    flat_ids = (jnp.arange(W * H * D, dtype=jnp.int32).reshape(W, H, D) + 1)
+    n = W * H * D
+    flat_ids = (jnp.arange(n, dtype=jnp.int32).reshape(W, H, D) + 1)
     labels = jnp.where(mask, flat_ids, _INF)
+
+    def chase(new):
+        """Pointer jumping: a label is the flat index+1 of a voxel in the
+        SAME component, and that voxel's own label is <= ours — so one
+        gather hop halves the pointer-chain depth.  Combined with the
+        neighbor sweep this converges in O(log diameter) iterations
+        instead of O(diameter) (240^3 background: ~12 sweeps, not ~400),
+        to the identical fixpoint (min flat id per component)."""
+        flat = jnp.where(mask, new, _INF).ravel()
+        for _ in range(2):
+            ptr = jnp.clip(new - 1, 0, n - 1)
+            chased = jnp.where(new < _INF, jnp.take(flat, ptr), _INF)
+            new = jnp.minimum(new, chased)
+            flat = jnp.where(mask, new, _INF).ravel()
+        return new
 
     def cond(state):
         labels, changed, it = state
@@ -66,6 +82,7 @@ def connected_components_device(mask: jnp.ndarray, connectivity: int = 3,
         labels, _, it = state
         new = jnp.minimum(labels, _neighbor_min(labels, connectivity))
         new = jnp.where(mask, new, _INF)
+        new = chase(new)
         return new, jnp.any(new != labels), it + 1
 
     labels, _, _ = lax.while_loop(cond, body, (labels, jnp.bool_(True), 0))
