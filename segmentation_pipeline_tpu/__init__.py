@@ -102,6 +102,12 @@ from .utils.misc import auto_str, random_folds
 from .utils.dataset_files import prepare_dataset_files
 from .utils.timer import Timer
 from .utils.compact_json import CompactJSONEncoder
+from .utils.compile_cache import (enable_compilation_cache,
+                                  enable_compilation_cache_from_env)
+
+# honor SP_COMPILATION_CACHE (persistent XLA executable cache across
+# processes — SLURM array tasks, preemption relaunches; utils/compile_cache)
+enable_compilation_cache_from_env()
 from .utils.nn_unet_convert import save_dataset_as_nn_unet
 from .evaluators.instance_segmentation_evaluator import msseg_detection_test
 from .visualizations import vis_features, vis_model, vis_subject
