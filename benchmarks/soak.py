@@ -24,11 +24,16 @@ Prints one JSON line; PARITY.md "Reference-budget soak" records the runs.
 import json
 import os
 import shutil
+import sys
 import tempfile
 import time
 from pathlib import Path
 
 import numpy as np
+
+# support `python benchmarks/soak.py` as well as `python -m benchmarks.soak`
+# (benchmarks/ has no __init__.py, so the repo root must be importable)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _rss_mb() -> float:

@@ -138,8 +138,14 @@ class WandbLogger(Logger):
                 if path and os.path.exists(path):
                     self._wandb_save(path)
 
-    @staticmethod
-    def _wandb_save(path):
+    # (run_dir, upload name) -> source abspath: two DIFFERENT sources that
+    # share a basename (e.g. dmri_hippo/config.py and msseg2/config.py in
+    # context.file_paths) must not silently overwrite each other in the
+    # run dir before upload
+    _upload_names: dict = {}
+
+    @classmethod
+    def _wandb_save(cls, path):
         """Upload ``path``'s bytes as they exist NOW.
 
         Real ``wandb.save`` on a path outside the run directory creates a
@@ -150,13 +156,21 @@ class WandbLogger(Logger):
         same approach here: copy the file into the run dir and save the
         in-run-dir copy (which wandb uploads directly, no symlink).
         """
+        import hashlib
         import shutil
 
         import wandb
 
         src = os.path.abspath(str(path))
         run_dir = os.path.abspath(wandb.run.dir)
-        dest = os.path.join(run_dir, os.path.basename(src))
+        name = os.path.basename(src)
+        owner = cls._upload_names.get((run_dir, name))
+        if owner is not None and owner != src:
+            stem, ext = os.path.splitext(name)
+            digest = hashlib.sha1(src.encode()).hexdigest()[:8]
+            name = f"{stem}.{digest}{ext}"
+        cls._upload_names[(run_dir, name)] = src
+        dest = os.path.join(run_dir, name)
         if dest != src:
             shutil.copy2(src, dest)
         wandb.save(dest, base_path=run_dir, policy="now")

@@ -453,6 +453,11 @@ def _augment_batch_jit(key, X, y, config_items):
         A = jax.vmap(lambda k: draw_affine_matrix(
             k[2], cfg["affine_scales"], cfg["affine_degrees"]))(keys)
         gd = cfg.get("warp_gather_dtype")
+        if gd not in (None, "float32", "f32", "bfloat16", "bf16"):
+            raise ValueError(
+                f"warp_gather_dtype={gd!r} not supported: use 'bfloat16' "
+                f"('bf16') or None/'float32' — a silently ignored value "
+                f"would misattribute benchmark results")
         X, y = _affine_stage(
             do, A, X, y, batching=batching,
             gather_dtype=jnp.bfloat16 if gd in ("bfloat16", "bf16") else None)

@@ -188,16 +188,18 @@ def keep_components_device(img: jnp.ndarray, num: int, num_classes: int = 256,
                            max_dilations: int = 100,
                            cc_max_iterations: int = 256):
     """Device counterpart of post_processing.keep_components (ref
-    post_processing.py:28-47): keep the ``num`` largest 26-connected
-    components of img > 0; removed voxels are filled by iteratively grey-
-    dilating the survivors into them — matching the host path's size-rank
-    dilation (larger components win contested voxels).  img: (W, H, D)
-    integer label ids < num_classes.  Returns (img int32,
+    post_processing.py:28-47): keep the ``num+1`` largest of {background} ∪
+    {26-connected components of img > 0} — background competes for a keep
+    slot exactly as on host, so normally (background largest) the ``num``
+    biggest foreground components survive; removed voxels are filled by
+    iteratively grey-dilating the survivors into them — matching the host
+    path's size-rank dilation (larger components win contested voxels).
+    img: (W, H, D) integer label ids < num_classes.  Returns (img int32,
     num_components_removed, num_elements_removed).
 
     Tie divergence (documented in PARITY.md): when several components share
-    the num-th largest size, the device path keeps ALL of them; the host
-    path keeps the later-labeled ones up to exactly ``num``."""
+    the threshold size, the device path keeps ALL of them; the host
+    path keeps the later-labeled ones up to exactly ``num+1`` ranks."""
     img = jnp.asarray(img).astype(jnp.int32)
 
     def cond(state):
@@ -209,14 +211,25 @@ def keep_components_device(img: jnp.ndarray, num: int, num_classes: int = 256,
         cc = connected_components_device(cur > 0, connectivity=3,
                                          max_iterations=cc_max_iterations)
         sizes = _component_sizes(cc)
-        n_comp = jnp.sum(sizes > 0)
-        thr = lax.top_k(sizes, num)[0][-1]  # num-th largest size
-        keep = jnp.logical_and(cc > 0,
-                               jnp.take(sizes, jnp.clip(cc, 0, cc.size))
-                               >= jnp.maximum(thr, 1))
-        remove = jnp.logical_and(cur > 0, jnp.logical_not(keep))
+        n_fg = jnp.sum(sizes > 0)
+        # Host parity: sort_by_size ranks the CC output INCLUDING value 0,
+        # so BACKGROUND is a keep candidate like any component — the keep
+        # budget is num+1 ranks over {background} ∪ foreground (ref
+        # post_processing.py:28-47).  Normally background is the largest
+        # and holds rank 0 (leaving num slots for foreground), but when it
+        # is outsized by >num components the host removes-and-fills it, and
+        # when it is absent the host keeps num+1 foreground components.
+        # Slot 0 of the size histogram is free for it (fg ids are
+        # flat-index+1 > 0).
+        bg_count = jnp.int32(cur.size) - jnp.sum(sizes)
+        sizes = sizes.at[0].set(bg_count)
+        n_comp = n_fg + (bg_count > 0).astype(jnp.int32)
+        # (num+1)-th largest size over background + foreground components
+        thr = jnp.maximum(lax.top_k(sizes, num + 1)[0][-1], 1)
+        keep = jnp.take(sizes, jnp.clip(cc, 0, cc.size)) >= thr
+        remove = jnp.logical_not(keep)
         comp_removed = jnp.where(
-            it == 0, jnp.maximum(n_comp - num, 0), comp_removed)
+            it == 0, jnp.maximum(n_comp - 1 - num, 0), comp_removed)
         elems_removed = jnp.where(it == 0, jnp.sum(remove), elems_removed)
 
         # Host parity (ref post_processing.py:28-47 through sort_by_size):

@@ -154,6 +154,11 @@ def _attach_prediction(subject: Subject, y_pred: np.ndarray, label_attributes):
 class StandardPredict(Predictor):
     """Whole-image batched prediction (ref prediction.py:57-102)."""
 
+    # class-level fallbacks so checkpoints pickled before these attributes
+    # existed still resume (pickle restores __dict__ without __init__)
+    _confusion_plan = None
+    cache_inputs = None
+
     def __init__(self, image_names: Sequence[str] = ("X",), sagittal_split: bool = False,
                  refine_image: str = None, device_argmax: bool = False,
                  cache_inputs: Optional[bool] = None):
@@ -305,6 +310,10 @@ class PatchPredict(Predictor):
 
         if isinstance(state.get("mesh"), MeshRecipe):
             state["mesh"] = state["mesh"].build()
+        # attributes newer than the pickled checkpoint (predictors ride
+        # inside every checkpoint; keep old checkpoints loadable)
+        state.setdefault("device_postprocess", None)
+        state.setdefault("cache_inputs", None)
         self.__dict__.update(state)
 
     # static model_fns cached per flax module so repeated predict() calls hit

@@ -218,10 +218,27 @@ class DeviceConfusionManager:
     # probe-sweep validation (trainer side)
     # ------------------------------------------------------------------
 
+    def _fail_probe(self, subjects) -> None:
+        """Disable the device path AND strip the entries deliver() already
+        attached this sweep, so the evaluators (which run after this check,
+        trainer.py) fall back to the host chain instead of reporting the
+        very counts the probe just proved wrong."""
+        self.state = "off"
+        self._probe_stats.clear()
+        for subject in subjects:
+            subject.pop(CONFUSION_KEY, None)
+
     def validate_probe(self, subjects) -> None:
         """Compare the device counts captured this sweep against the host
         chain's, subject by subject, exactly.  All-equal -> "on"; any
-        mismatch or missing subject -> "off"."""
+        mismatch or missing subject -> "off".  Call at the end of any sweep
+        that STARTED in probe state (skip_fetch was False, so every subject
+        carries full host predictions and stripping is always safe)."""
+        if self.state == "off":
+            # device_joint failed mid-sweep: entries attached earlier in
+            # this sweep were never validated — strip them
+            self._fail_probe(subjects)
+            return
         if self.state != "probe":
             return
         for subject in subjects:
@@ -229,7 +246,7 @@ class DeviceConfusionManager:
             device_stats = self._probe_stats.get(name)
             if device_stats is None or _EVAL_NAMES[0] not in subject \
                     or _EVAL_NAMES[1] not in subject:
-                self.state = "off"
+                self._fail_probe(subjects)
                 return
             label_values = subject[_EVAL_NAMES[0]]["label_values"]
             host = confusion_stats(
@@ -242,7 +259,7 @@ class DeviceConfusionManager:
                               f"{label}.{stat}: host {host[stat][label]} vs "
                               f"device {device_stats[stat].get(label)} — "
                               f"using the host path")
-                        self.state = "off"
+                        self._fail_probe(subjects)
                         return
         self._probe_stats.clear()
         self.state = "on"

@@ -612,6 +612,8 @@ class SegmentationTrainer:
 
                         use_dev_confusion = eligible_sweep(
                             scheduled_validation, self.validation_predictor)
+                    probe_sweep = (use_dev_confusion
+                                   and confusion_mgr.state == "probe")
                     validation_subjects = []
                     for val_subjects in validation_dataloader:
                         if use_dev_confusion:
@@ -628,9 +630,12 @@ class SegmentationTrainer:
                         add_evaluation_labels(
                             [s for s in val_subjects if "y_pred" in s])
                         validation_subjects += val_subjects
-                    if use_dev_confusion and confusion_mgr.state == "probe":
+                    if probe_sweep:
                         # first eligible sweep ran BOTH paths: switch the
                         # device reduction on only on exact count agreement
+                        # (also strips unvalidated device entries when the
+                        # probe failed mid-sweep — the evaluators below
+                        # must not consume them)
                         confusion_mgr.validate_probe(validation_subjects)
                     validation_subjects_map = {s["name"]: s for s in validation_subjects}
                     timer.stamp("model_forward_evaluation")

@@ -241,10 +241,12 @@ class TestTrainerDeviceConfusion:
                 inv.exclude = getattr(outer, "exclude", None)
                 return inv
 
-        _write_dataset(tmp_path)
+        probe_dir, host_dir = tmp_path / "probe", tmp_path / "host"
+        _write_dataset(probe_dir)
+        _write_dataset(host_dir)
         sp.seed_all(7)
         ctx = _build_context(
-            tmp_path, device_confusion=None,
+            probe_dir, device_confusion=None,
             extra_label_transform=RollLabels(include=["seg"]))
         logger = _CaptureLogger()
         ctx.trainer.train(ctx, max_iterations=4, logger=logger)
@@ -256,6 +258,25 @@ class TestTrainerDeviceConfusion:
         # path); max_iterations=4 runs iterations 0..3 -> sweep at 2
         assert any("seg" in r for r in logger.records
                    if r.get("iteration") == 2)
+
+        # THE PROBE SWEEP'S OWN metrics must come from the host chain too:
+        # a failed probe strips the already-attached device entries before
+        # the evaluators run, so iteration 0 equals a host-only run exactly
+        sp.seed_all(7)
+        ctx_host = _build_context(
+            host_dir, device_confusion=False,
+            extra_label_transform=RollLabels(include=["seg"]))
+        log_host = _CaptureLogger()
+        ctx_host.trainer.train(ctx_host, max_iterations=4, logger=log_host)
+        stats_probe = _sweep_stats(logger.records)
+        stats_host = _sweep_stats(log_host.records)
+        assert sorted(stats_probe) == sorted(stats_host)
+        for it in stats_host:
+            for col, by_subject in stats_host[it].items():
+                for name, v in by_subject.items():
+                    got = stats_probe[it][col][name]
+                    assert got == pytest.approx(v, nan_ok=True), \
+                        (it, col, name, got, v)
 
 
 class TestPredictorPlanHooks:

@@ -74,6 +74,30 @@ class TestKeepComponentsDevice:
         np.testing.assert_array_equal(np.asarray(dev), host)
         assert (int(dc), int(de)) == (hc, he) == (0, 0)
 
+    def test_background_competes_for_keep_slots(self):
+        """Host sort_by_size ranks BACKGROUND like any component (ref
+        post_processing.py:28-47): two slabs outsizing a thin background
+        plane with num=1 means the host keeps both slabs and removes/fills
+        the background — the device path must match, not protect cur==0."""
+        img = np.zeros((12, 10, 10), np.int32)
+        img[:5] = 1    # 500-voxel slab
+        img[6:] = 2    # 600-voxel slab; img[5] stays 0 (100-voxel bg plane)
+        host, hc, he = keep_components(img.copy(), 1)
+        dev, dc, de = keep_components_device(img, 1, num_classes=3)
+        assert (host == 0).sum() == 0   # the host really fills background
+        np.testing.assert_array_equal(np.asarray(dev), host)
+        assert (int(dc), int(de)) == (hc, he)
+
+    def test_single_component_no_background(self):
+        """A volume with no background voxels is one component: nothing is
+        removed and the report counts stay zero on both paths."""
+        img = np.ones((8, 8, 8), np.int32)
+        img[4:] = 2
+        host, hc, he = keep_components(img.copy(), 1)
+        dev, dc, de = keep_components_device(img, 1, num_classes=3)
+        np.testing.assert_array_equal(np.asarray(dev), host)
+        assert (int(dc), int(de)) == (hc, he) == (0, 0)
+
 
 class TestRemoveSmallComponentsDevice:
     @pytest.mark.parametrize("seed", [0, 3])

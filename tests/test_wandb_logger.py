@@ -189,6 +189,26 @@ class TestSetup:
         assert not os.path.islink(saved[0])
         assert open(saved[0], "rb").read() == src.read_bytes()
 
+    def test_same_basename_sources_both_uploaded(self, stub_wandb, tmp_path):
+        """Two file_paths sharing a basename (dmri_hippo/config.py and
+        msseg2/config.py) must not overwrite each other in the run dir —
+        both byte streams reach the upload, the second under a
+        hash-disambiguated name."""
+        a = tmp_path / "dmri_hippo" / "config.py"
+        b = tmp_path / "msseg2" / "config.py"
+        a.parent.mkdir()
+        b.parent.mkdir()
+        a.write_text("# dmri config")
+        b.write_text("# msseg2 config")
+        logger = _make_logger(stub_wandb, tmp_path)
+        ctx = _Ctx(tmp_path)
+        ctx.file_paths = [str(a), str(b)]
+        logger.setup(ctx)
+        saved = [p for p, _ in stub_wandb.calls["save"]]
+        assert len(saved) == 2
+        contents = {open(p, "rb").read() for p in saved}
+        assert contents == {a.read_bytes(), b.read_bytes()}
+
     def test_metric_summaries_defined(self, stub_wandb, tmp_path):
         logger = _make_logger(stub_wandb, tmp_path)
         logger.setup(_Ctx(tmp_path))
