@@ -24,12 +24,54 @@ from segmentation_pipeline_tpu import (
 from segmentation_pipeline_tpu.post_processing import remove_holes, remove_small_components
 from segmentation_pipeline_tpu.transforms.base import invert_records
 
+# the competition's cleanup chain (ref ms-inference.py:47-51)
+CLEANUP_CHAIN = [("remove_holes", 64), ("remove_small_components", 3)]
+
+
+def _fused_cleanup_is_exact(subject) -> bool:
+    """The fused device cleanup runs in MODEL space (before the history
+    inversion); the reference cleans AFTER inversion (ref
+    ms-inference.py:47-51). The two orders are voxel-identical iff every
+    record's applied inverse commutes with the cleanup chain on y_pred:
+
+    - non-invertible records: invert_records skips them entirely;
+    - intensity transforms: their inverses select intensity images only
+      (``get_images_dict(intensity_only=True)``) and y_pred is a LabelMap;
+    - ConcatenateImages / RenameProperty: the inverse moves/renames whole
+      images without touching voxels;
+    - CustomOneHot: with device_argmax the attached y_pred is exactly
+      one-hot, so the inverse argmax is the identity relabeling on the
+      ids the cleanup saw.
+
+    Everything geometric stays on the host path: crops do NOT commute
+    because remove_holes fills small border-touching background regions
+    that reconnect to background once the inverse pads the volume back,
+    pads invert to crops that can split/shrink components across the cut,
+    and resamples change voxel counts outright. (So the full competition
+    pipeline — TargetResample/CropToMask/MinSizePad — deliberately takes
+    the host path; the fused path serves datasets already in model
+    geometry.)"""
+    safe_classes = ("ConcatenateImages", "RenameProperty", "CustomOneHot")
+    for rec in subject.get_composed_history():
+        t = rec.transform
+        if not t.is_invertible():
+            continue
+        module = type(t).__module__.rsplit(".", 1)[-1]
+        if module == "intensity" or type(t).__name__ in safe_classes:
+            continue
+        return False
+    return True
+
 
 def inference(dataset, model, out_folder, output_filename,
-              device_argmax=False):
+              device_argmax=False, device_postprocess=False):
     predictor = PatchPredict(patch_batch_size=1, patch_size=96, patch_overlap=48,
                              padding_mode="edge", overlap_mode="average",
                              image_names=["X"], device_argmax=device_argmax)
+    fused_predictor = PatchPredict(
+        patch_batch_size=1, patch_size=96, patch_overlap=48,
+        padding_mode="edge", overlap_mode="average", image_names=["X"],
+        device_argmax=True, device_postprocess=CLEANUP_CHAIN)
 
     for i in range(len(dataset)):
         subject = dataset[i]
@@ -40,7 +82,16 @@ def inference(dataset, model, out_folder, output_filename,
             Path(out_folder) / subject["name"]
         folder.mkdir(exist_ok=True, parents=True)
 
-        [subject], _ = predictor.predict(model, [subject])
+        # fused path: cleanup happens on device before the bit-packed ids
+        # fetch (only the CLEANED mask crosses the link) — used only when
+        # provably identical to the reference's clean-after-inversion order
+        fused = device_postprocess and _fused_cleanup_is_exact(subject)
+        if device_postprocess and not fused:
+            print("device-postprocess: history has a spatial/label inverse; "
+                  "falling back to the host cleanup for exact parity")
+
+        [subject], _ = (fused_predictor if fused else predictor).predict(
+            model, [subject])
 
         records = subject.get_composed_history()
         pred_subject = Subject({"y": subject["y_pred"]})
@@ -51,11 +102,15 @@ def inference(dataset, model, out_folder, output_filename,
             if output_label.data.shape[0] > 1 else np.asarray(output_label.data)[0]
         label_data = label_data.astype(np.int32)
 
-        label_data, hole_voxels_removed = remove_holes(label_data, hole_size=64)
-        print(f"Filled {hole_voxels_removed} voxels from detected holes.")
+        if fused:
+            print("Cleanup ran fused on device (holes filled + small "
+                  "components removed before the ids fetch).")
+        else:
+            label_data, hole_voxels_removed = remove_holes(label_data, hole_size=64)
+            print(f"Filled {hole_voxels_removed} voxels from detected holes.")
 
-        label_data, small_removed = remove_small_components(label_data, 3)
-        print(f"Removed {small_removed} voxels from small predictions less than size 3.")
+            label_data, small_removed = remove_small_components(label_data, 3)
+            print(f"Removed {small_removed} voxels from small predictions less than size 3.")
 
         output_label.set_data(label_data[None].astype(np.int32))
 
@@ -91,6 +146,12 @@ def main():
                         help="argmax on device and fetch uint8 label ids "
                              "instead of the float32 probability volume "
                              "(identical mask, much less host transfer)")
+    parser.add_argument("--device-postprocess", action="store_true",
+                        help="run the hole-fill + small-component cleanup "
+                             "fused on device before the ids fetch "
+                             "(implies --device-argmax; falls back to the "
+                             "host cleanup per subject when the transform "
+                             "history makes the fused order inexact)")
     args = parser.parse_args()
 
     contexts = []
@@ -121,7 +182,8 @@ def main():
                    else context.dataset.get_cohort_dataset(args.cohort))
         print(f"Running evaluation for context {i}")
         inference(dataset, context.model, args.out_folder, args.output_filename,
-                  device_argmax=args.device_argmax)
+                  device_argmax=args.device_argmax,
+                  device_postprocess=args.device_postprocess)
 
 
 if __name__ == "__main__":

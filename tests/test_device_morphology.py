@@ -137,3 +137,77 @@ class TestFusedChain:
         with pytest.raises(ValueError):
             apply_device_postprocess(np.zeros((4, 4, 4), np.int32),
                                      [("erode", 1)], num_classes=2)
+
+
+class TestFusedPredictorPostprocess:
+    """device_postprocess through the REAL PatchPredict path (the
+    production composition, not just the op chain): sliding window ->
+    device argmax -> fused cleanup -> bit-packed fetch -> one-hot attach
+    must equal the same predictor followed by the host post_processing
+    calls on the fetched segmentation."""
+
+    def _subject(self, labels):
+        from segmentation_pipeline_tpu.core.subject import ScalarImage, Subject
+
+        x = np.where(labels > 0, 2.0, -2.0).astype(np.float32)[None]
+        s = Subject(name="s0", folder="/tmp")
+        s["X"] = ScalarImage(tensor=x, affine=np.eye(4))
+        return s
+
+    @staticmethod
+    def _model(x):
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x)
+        fg = (x[:, 0:1] > 0).astype(jnp.float32)
+        return jnp.concatenate([1 - fg, fg], axis=1)
+
+    def test_patch_predict_fused_equals_host_chain(self):
+        from segmentation_pipeline_tpu.prediction import PatchPredict
+
+        labels = _blobby_labels(11, shape=(24, 20, 16), n_classes=2)
+        chain = [("remove_holes", 8), ("remove_small_components", 3)]
+
+        fused_subjects, _ = PatchPredict(
+            image_names=["X"], patch_size=8, patch_overlap=4,
+            patch_batch_size=4, device_argmax=True,
+            device_postprocess=chain).predict(
+                self._model, [self._subject(labels)])
+        fused_ids = np.argmax(
+            np.asarray(fused_subjects[0]["y_pred"].data), axis=0)
+
+        plain_subjects, _ = PatchPredict(
+            image_names=["X"], patch_size=8, patch_overlap=4,
+            patch_batch_size=4, device_argmax=True).predict(
+                self._model, [self._subject(labels)])
+        host_ids = np.argmax(
+            np.asarray(plain_subjects[0]["y_pred"].data), axis=0).astype(np.int32)
+        host_ids, _ = remove_holes(host_ids, hole_size=8)
+        host_ids, _ = remove_small_components(host_ids, 3)
+
+        assert fused_ids.any()  # the cleanup must not wipe the volume
+        assert not np.array_equal(
+            host_ids, np.argmax(np.asarray(plain_subjects[0]["y_pred"].data),
+                                axis=0))  # ... and must actually do work
+        np.testing.assert_array_equal(fused_ids, host_ids)
+
+    def test_padded_ragged_shape(self):
+        """A volume that is not a multiple of the patch stride exercises the
+        pad -> cleanup-on-unpadded -> fetch order in finalize()."""
+        from segmentation_pipeline_tpu.prediction import PatchPredict
+
+        labels = _blobby_labels(13, shape=(21, 18, 15), n_classes=2)
+        chain = [("remove_holes", 8), ("remove_small_components", 3)]
+        fused_subjects, _ = PatchPredict(
+            image_names=["X"], patch_size=8, patch_overlap=4,
+            patch_batch_size=4, device_argmax=True,
+            device_postprocess=chain).predict(
+                self._model, [self._subject(labels)])
+        fused_ids = np.argmax(
+            np.asarray(fused_subjects[0]["y_pred"].data), axis=0)
+
+        host_ids = labels.copy()  # voxelwise model reproduces the mask
+        host_ids, _ = remove_holes(host_ids, hole_size=8)
+        host_ids, _ = remove_small_components(host_ids, 3)
+        assert fused_ids.shape == labels.shape
+        np.testing.assert_array_equal(fused_ids, host_ids)

@@ -198,3 +198,111 @@ class TestMsseg2Config:
         assert batch[0]["X"].data.shape[0] == 2  # two timepoints concat
         assert batch[0]["X"].spatial_shape == (16, 16, 16)
         assert "location" in batch[0]
+
+
+class TestMsInferenceCompetitionCLI:
+    """research/msseg2/competition/ms_inference.inference: the competition
+    chain (predict -> invert history -> hole fill + small-component removal
+    -> resample to original grid -> save), and the fused --device-postprocess
+    path which must produce byte-identical masks when the history is
+    intensity-only and fall back to the host cleanup when it is not."""
+
+    class _MiniDataset:
+        """SubjectFolder access semantics: deepcopy then transform."""
+
+        def __init__(self, subjects, transform):
+            self.subjects = subjects
+            self.transform = transform
+
+        def __len__(self):
+            return len(self.subjects)
+
+        def __getitem__(self, i):
+            import copy
+
+            return self.transform(copy.deepcopy(self.subjects[i]))
+
+    @staticmethod
+    def _model(x):
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x)
+        fg = (x[:, 1:2] > x[:, 0:1] + 0.2).astype(jnp.float32)
+        return jnp.concatenate([1 - fg, fg], axis=1)
+
+    def _subject(self):
+        # fg mask with an interior hole (filled by remove_holes(64)) and a
+        # 2-voxel island (dropped by remove_small_components(3)); two
+        # timepoints so the real config's ConcatenateImages stage applies
+        mask = np.zeros((24, 24, 24), np.float32)
+        mask[4:16, 4:16, 4:16] = 1.0
+        mask[8:10, 8:10, 8:10] = 0.0            # 8-voxel hole
+        mask[20, 20, 20] = mask[20, 20, 21] = 1.0  # small island
+        s = sp.Subject(name="sub01", folder="/tmp")
+        base = np.full((1, 24, 24, 24), 0.1, np.float32)
+        s["t1"] = sp.ScalarImage(tensor=base, affine=np.eye(4))
+        s["t2"] = sp.ScalarImage(tensor=base + 4.0 * mask[None],
+                                 affine=np.eye(4))
+        s["ground_truth"] = sp.LabelMap(tensor=mask[None].astype(np.int32),
+                                        affine=np.eye(4),
+                                        label_values={"lesion": 1})
+        return s, mask
+
+    def _stage_model_io(self):
+        """The msseg2 config's model-I/O staging (msseg2.py stage_model_io),
+        minus the geometry stage — every record is on the fused-safe
+        whitelist."""
+        from segmentation_pipeline_tpu.transforms import (
+            Compose,
+            ConcatenateImages,
+            CustomOneHot,
+            RenameProperty,
+            RescaleIntensity,
+        )
+
+        return Compose([
+            RescaleIntensity((-1.0, 1.0), (0.05, 99.5)),
+            ConcatenateImages(image_names=["t1", "t2"], image_channels=[1, 1],
+                              new_image_name="X"),
+            RenameProperty(old_name="ground_truth", new_name="y"),
+            CustomOneHot(include="y"),
+        ])
+
+    def _run(self, tmp_path, transform, device_postprocess, tag):
+        from research.msseg2.competition.ms_inference import inference
+
+        subject, _ = self._subject()
+        ds = self._MiniDataset([subject], transform)
+        out = tmp_path / tag
+        inference(ds, self._model, str(out), "seg.nii.gz",
+                  device_argmax=True, device_postprocess=device_postprocess)
+        data, _ = sp.read_nifti(out / "sub01" / "seg.nii.gz")
+        return np.asarray(data)[0]
+
+    def test_fused_matches_host_on_model_io_history(self, tmp_path, capsys):
+        transform = self._stage_model_io()
+        host = self._run(tmp_path, transform, False, "host")
+        fused = self._run(tmp_path, transform, True, "fused")
+        printed = capsys.readouterr().out
+        assert "Cleanup ran fused on device" in printed
+        _, mask = self._subject()
+        expected = mask.copy()
+        expected[8:10, 8:10, 8:10] = 1.0  # hole filled
+        expected[20, 20, 20] = expected[20, 20, 21] = 0.0  # island removed
+        np.testing.assert_array_equal(host, expected)
+        np.testing.assert_array_equal(fused, host)
+
+    def test_spatial_history_falls_back_to_host(self, tmp_path, capsys):
+        """Any geometry record (here CropOrPad, standing in for the real
+        pipeline's TargetResample/CropToMask/MinSizePad) must force the
+        host cleanup: crops/pads/resamples do not commute with
+        remove_holes (see _fused_cleanup_is_exact)."""
+        from segmentation_pipeline_tpu.transforms import Compose, CropOrPad
+
+        transform = Compose([CropOrPad((20, 20, 20)), self._stage_model_io()])
+        host = self._run(tmp_path, transform, False, "host")
+        fused = self._run(tmp_path, transform, True, "fused")
+        printed = capsys.readouterr().out
+        assert "falling back to the host cleanup" in printed
+        assert "Cleanup ran fused" not in printed
+        np.testing.assert_array_equal(fused, host)
