@@ -9,6 +9,9 @@
 #SBATCH --time=0-12:0:0
 
 export MPLBACKEND=agg
+# persist XLA executables across array tasks and relaunches (LOGS_PATH outlives per-task SLURM_TMPDIRs)
+# (first task pays the compiles; the rest start warm — docs/performance.md #8)
+export SP_COMPILATION_CACHE="${SP_COMPILATION_CACHE:-${LOGS_PATH:-/tmp}/xla_cache}"
 
 python -m research.dmri_hippo.run cascade_experiment \
     "$DATASET_PATH" \
