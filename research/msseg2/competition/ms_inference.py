@@ -51,13 +51,19 @@ def _fused_cleanup_is_exact(subject) -> bool:
     pipeline — TargetResample/CropToMask/MinSizePad — deliberately takes
     the host path; the fused path serves datasets already in model
     geometry.)"""
-    safe_classes = ("ConcatenateImages", "RenameProperty", "CustomOneHot")
+    from segmentation_pipeline_tpu.transforms import (
+        ConcatenateImages as _Concat,
+        CustomOneHot as _OneHot,
+        RenameProperty as _Rename,
+    )
+    from segmentation_pipeline_tpu.transforms.base import IntensityTransform
+
+    safe_classes = (_Concat, _Rename, _OneHot, IntensityTransform)
     for rec in subject.get_composed_history():
         t = rec.transform
         if not t.is_invertible():
             continue
-        module = type(t).__module__.rsplit(".", 1)[-1]
-        if module == "intensity" or type(t).__name__ in safe_classes:
+        if isinstance(t, safe_classes):
             continue
         return False
     return True
@@ -106,11 +112,19 @@ def inference(dataset, model, out_folder, output_filename,
             print("Cleanup ran fused on device (holes filled + small "
                   "components removed before the ids fetch).")
         else:
-            label_data, hole_voxels_removed = remove_holes(label_data, hole_size=64)
-            print(f"Filled {hole_voxels_removed} voxels from detected holes.")
-
-            label_data, small_removed = remove_small_components(label_data, 3)
-            print(f"Removed {small_removed} voxels from small predictions less than size 3.")
+            # the host chain derives from the SAME constant the fused
+            # predictor uses — fused-eligible and fallback subjects in one
+            # run must never be cleaned with different parameters
+            for op, arg in CLEANUP_CHAIN:
+                if op == "remove_holes":
+                    label_data, removed = remove_holes(label_data, hole_size=arg)
+                    print(f"Filled {removed} voxels from detected holes.")
+                elif op == "remove_small_components":
+                    label_data, removed = remove_small_components(label_data, arg)
+                    print(f"Removed {removed} voxels from small predictions "
+                          f"less than size {arg}.")
+                else:  # pragma: no cover — CLEANUP_CHAIN is a module constant
+                    raise ValueError(f"unknown cleanup op {op!r}")
 
         output_label.set_data(label_data[None].astype(np.int32))
 
@@ -182,7 +196,10 @@ def main():
                    else context.dataset.get_cohort_dataset(args.cohort))
         print(f"Running evaluation for context {i}")
         inference(dataset, context.model, args.out_folder, args.output_filename,
-                  device_argmax=args.device_argmax,
+                  # --device-postprocess implies --device-argmax: even the
+                  # host-fallback subjects should then fetch uint8 ids, not
+                  # the float32 probability volume
+                  device_argmax=args.device_argmax or args.device_postprocess,
                   device_postprocess=args.device_postprocess)
 
 

@@ -419,6 +419,17 @@ class PatchPredict(Predictor):
                 model, int(subjects[0]["X"].data.shape[0]), patch_size)
             if n_ch is None or n_ch <= 1:
                 use_argmax = False
+        if self.device_postprocess and not use_argmax and subjects:
+            # the caller explicitly requested the fused cleanup; silently
+            # demoting it (C==1 model, failed shape probe, device_argmax
+            # off) would ship an UNCLEANED segmentation to a consumer that
+            # skipped its host cleanup on the strength of this option
+            raise ValueError(
+                "device_postprocess requires device_argmax with a multi-"
+                "channel model (the fused cleanup runs on argmax ids); "
+                f"got device_argmax={self.device_argmax}, probed "
+                f"out_channels={n_ch}. Use the host post_processing "
+                "functions instead.")
 
         def run_with_batch_degrade(run):
             """Execute the fused window program, halving patch_batch_size on

@@ -211,3 +211,27 @@ class TestFusedPredictorPostprocess:
         host_ids, _ = remove_small_components(host_ids, 3)
         assert fused_ids.shape == labels.shape
         np.testing.assert_array_equal(fused_ids, host_ids)
+
+    def test_requested_cleanup_never_silently_skipped(self):
+        """If device_argmax is demoted (C==1 model) or was never on, a
+        REQUESTED device_postprocess must raise, not ship an uncleaned
+        segmentation to a caller that skipped its host cleanup."""
+        from segmentation_pipeline_tpu.prediction import PatchPredict
+
+        labels = _blobby_labels(3, shape=(16, 16, 16), n_classes=2)
+        chain = [("remove_holes", 8)]
+
+        def one_channel_model(x):
+            import jax.numpy as jnp
+
+            return (jnp.asarray(x)[:, 0:1] > 0).astype(jnp.float32)
+
+        with pytest.raises(ValueError, match="device_postprocess requires"):
+            PatchPredict(image_names=["X"], patch_size=8, patch_overlap=4,
+                         device_argmax=True, device_postprocess=chain
+                         ).predict(one_channel_model, [self._subject(labels)])
+
+        with pytest.raises(ValueError, match="device_postprocess requires"):
+            PatchPredict(image_names=["X"], patch_size=8, patch_overlap=4,
+                         device_argmax=False, device_postprocess=chain
+                         ).predict(self._model, [self._subject(labels)])
