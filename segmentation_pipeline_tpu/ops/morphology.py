@@ -162,23 +162,36 @@ def remove_holes_device(img: jnp.ndarray, hole_size: int,
     Exact parity with the host path (tests/test_device_morphology.py);
     the CC sweep cap (cc_max_iterations >= max component diameter) is the
     only approximation knob — leave the default unless volumes exceed
-    ~256-voxel serpentine holes."""
+    ~256-voxel serpentine holes.
+
+    The connected-components pass is hoisted OUT of the dilation loop
+    (the host recomputes it every iteration, ref post_processing.py:51-65,
+    but the recompute is provably the identity here): filling only turns
+    HOLE voxels into foreground, so (a) the large background components
+    lose no voxels and no background is ever added, hence they can
+    neither split nor merge, and (b) what remains of each hole is a
+    subset of it — every piece still has size <= hole_size and still
+    qualifies. The host's per-iteration hole set therefore equals
+    ``holes0 AND still-background``, and one CC suffices — at 240^3 this
+    removes up to ``max_dilations`` full CC passes from the program
+    (tests/test_device_morphology.py::test_serpentine_hole_many_dilations
+    pins the multi-iteration parity)."""
     img = jnp.asarray(img).astype(jnp.int32)
+    holes0 = _bg_hole_mask(img, hole_size, cc_max_iterations)
+    total = jnp.sum(holes0).astype(jnp.int32)
 
     def cond(state):
-        _, _, it, done = state
-        return jnp.logical_and(jnp.logical_not(done), it < max_dilations)
+        cur, it = state
+        remaining = jnp.logical_and(holes0, cur == 0)
+        return jnp.logical_and(jnp.any(remaining), it < max_dilations)
 
     def body(state):
-        cur, total, it, _ = state
-        holes = _bg_hole_mask(cur, hole_size, cc_max_iterations)
-        num = jnp.sum(holes)
-        total = jnp.where(it == 0, num, total)
-        filled = jnp.where(holes, _neighbor_max(cur, 1), cur)
-        return filled, total, it + 1, num == 0
+        cur, it = state
+        remaining = jnp.logical_and(holes0, cur == 0)
+        filled = jnp.where(remaining, _neighbor_max(cur, 1), cur)
+        return filled, it + 1
 
-    img, total, _, _ = lax.while_loop(
-        cond, body, (img, jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
+    img, _ = lax.while_loop(cond, body, (img, jnp.int32(0)))
     return img, total
 
 
@@ -199,15 +212,25 @@ def keep_components_device(img: jnp.ndarray, num: int, num_classes: int = 256,
 
     Tie divergence (documented in PARITY.md): when several components share
     the threshold size, the device path keeps ALL of them; the host
-    path keeps the later-labeled ones up to exactly ``num+1`` ranks."""
+    path keeps the later-labeled ones up to exactly ``num+1`` ranks.
+
+    Fast path: when background holds a keep slot (the overwhelmingly
+    common case — it is usually the largest "component"), the host's
+    whole recompute-CC-and-dilate loop provably collapses to ONE pass.
+    A removed component is 26-disconnected from every survivor, so the
+    only nonzero label its voxels can ever adopt from the (6-footprint)
+    rank dilation is background = 0; foreground therefore never grows,
+    the kept set never changes (removed components only shrink, so top
+    num+1 membership is invariant), and the loop's fixpoint is exactly
+    ``where(remove, 0, img)``. Only when background itself is REMOVED
+    (> num foreground components outsize it) do survivors genuinely
+    dilate outward — shrinking removed/background regions can then merge
+    into survivors and be rescued by the per-iteration CC — so that rare
+    branch keeps the host-parity loop
+    (tests/test_device_morphology.py::test_background_competes_for_keep_slots)."""
     img = jnp.asarray(img).astype(jnp.int32)
 
-    def cond(state):
-        _, _, _, it, done = state
-        return jnp.logical_and(jnp.logical_not(done), it < max_dilations)
-
-    def body(state):
-        cur, comp_removed, elems_removed, it, _ = state
+    def _analyze(cur):
         cc = connected_components_device(cur > 0, connectivity=3,
                                          max_iterations=cc_max_iterations)
         sizes = _component_sizes(cc)
@@ -227,38 +250,54 @@ def keep_components_device(img: jnp.ndarray, num: int, num_classes: int = 256,
         # (num+1)-th largest size over background + foreground components
         thr = jnp.maximum(lax.top_k(sizes, num + 1)[0][-1], 1)
         keep = jnp.take(sizes, jnp.clip(cc, 0, cc.size)) >= thr
-        remove = jnp.logical_not(keep)
-        comp_removed = jnp.where(
-            it == 0, jnp.maximum(n_comp - 1 - num, 0), comp_removed)
-        elems_removed = jnp.where(it == 0, jnp.sum(remove), elems_removed)
+        return keep, n_comp, bg_count, thr
 
-        # Host parity (ref post_processing.py:28-47 through sort_by_size):
-        # dilation runs on size-ranked label VALUES — background included at
-        # its own (usually highest) rank, so removed voxels bordering
-        # background become background and the largest-total-size label wins
-        # contested voxels; removed voxels enter the dilation at rank 0,
-        # exactly like the host's `sorted_img * keep` masking. Ranks are
-        # (count asc, value asc), matching np.argsort(counts, stable) over
-        # np.unique's ascending values; absent values (count 0) rank below
-        # every present value and never appear in the input.
-        counts = (jnp.zeros((num_classes,), jnp.int32)
-                  .at[jnp.clip(cur.ravel(), 0, num_classes - 1)].add(1))
-        order = jnp.argsort(counts, stable=True)
-        rank_of = jnp.zeros((num_classes,), jnp.int32).at[order].set(
-            jnp.arange(num_classes, dtype=jnp.int32))
-        ranks = jnp.take(rank_of, cur)
-        to_dilate = jnp.where(remove, 0, ranks)
-        dilated = _neighbor_max(to_dilate, 1)
-        change = jnp.logical_and(dilated != to_dilate, remove)
-        # unchanged removed voxels keep their original label until a later
-        # sweep's dilation reaches them (host: sorted_img only overwritten
-        # at `change`)
-        nxt = jnp.take(order, jnp.where(change, dilated, ranks))
-        return nxt, comp_removed, elems_removed, it + 1, jnp.sum(remove) == 0
+    keep0, n_comp0, bg_count0, thr0 = _analyze(img)
+    remove0 = jnp.logical_not(keep0)
+    comp_removed = jnp.maximum(n_comp0 - 1 - num, 0)
+    elems_removed = jnp.sum(remove0)
 
-    img, comp_removed, elems_removed, _, _ = lax.while_loop(
-        cond, body,
-        (img, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
+    def fast(cur):
+        return jnp.where(remove0, 0, cur)
+
+    def slow(start):
+        def cond(state):
+            _, it, done = state
+            return jnp.logical_and(jnp.logical_not(done), it < max_dilations)
+
+        def body(state):
+            cur, it, _ = state
+            keep, _, _, _ = _analyze(cur)
+            remove = jnp.logical_not(keep)
+
+            # Host parity (ref post_processing.py:28-47 through
+            # sort_by_size): dilation runs on size-ranked label VALUES —
+            # background included at its own rank, removed voxels enter
+            # the dilation at rank 0, exactly like the host's
+            # `sorted_img * keep` masking. Ranks are (count asc, value
+            # asc), matching np.argsort(counts, stable) over np.unique's
+            # ascending values; absent values (count 0) rank below every
+            # present value and never appear in the input.
+            counts = (jnp.zeros((num_classes,), jnp.int32)
+                      .at[jnp.clip(cur.ravel(), 0, num_classes - 1)].add(1))
+            order = jnp.argsort(counts, stable=True)
+            rank_of = jnp.zeros((num_classes,), jnp.int32).at[order].set(
+                jnp.arange(num_classes, dtype=jnp.int32))
+            ranks = jnp.take(rank_of, cur)
+            to_dilate = jnp.where(remove, 0, ranks)
+            dilated = _neighbor_max(to_dilate, 1)
+            change = jnp.logical_and(dilated != to_dilate, remove)
+            # unchanged removed voxels keep their original label until a
+            # later sweep's dilation reaches them (host: sorted_img only
+            # overwritten at `change`)
+            nxt = jnp.take(order, jnp.where(change, dilated, ranks))
+            return nxt, it + 1, jnp.sum(remove) == 0
+
+        out, _, _ = lax.while_loop(cond, body, (start, jnp.int32(0),
+                                                jnp.bool_(False)))
+        return out
+
+    img = lax.cond(bg_count0 >= thr0, fast, slow, img)
     return img, comp_removed, elems_removed
 
 

@@ -235,3 +235,70 @@ class TestFusedPredictorPostprocess:
             PatchPredict(image_names=["X"], patch_size=8, patch_overlap=4,
                          device_argmax=False, device_postprocess=chain
                          ).predict(self._model, [self._subject(labels)])
+
+
+class TestHoistedCCParity:
+    """The round-3 optimization hoists connected components out of the
+    dilation loops (remove_holes: always; keep_components: whenever
+    background holds a keep slot). These tests force MANY dilation
+    iterations and hole splits so any divergence from the host's
+    recompute-every-iteration semantics shows."""
+
+    def test_serpentine_hole_many_dilations(self):
+        """A long 1-voxel-wide serpentine hole fills one shell per
+        iteration (~20 iterations) and SPLITS into pieces as it fills —
+        each remaining piece must still be treated as a hole."""
+        img = np.ones((8, 24, 24), np.int32)
+        # carve a serpentine tunnel in the z=4 plane: total < hole_size
+        path = []
+        for row in range(2, 22, 4):
+            rng_cols = range(2, 22) if (row // 4) % 2 == 0 else range(21, 1, -1)
+            path += [(row, c) for c in rng_cols]
+            if row + 4 < 22:
+                path += [(r, path[-1][1]) for r in range(row + 1, row + 4)]
+        for r, c in path:
+            img[4, r, c] = 0
+        hole_voxels = int((img == 0).sum())
+        host, hc = remove_holes(img.copy(), hole_size=hole_voxels + 8)
+        dev, dc = remove_holes_device(img, hole_size=hole_voxels + 8)
+        assert hc == hole_voxels and int(dc) == hc
+        assert (host == 0).sum() == 0
+        np.testing.assert_array_equal(np.asarray(dev), host)
+
+    def test_multilabel_hole_fill_values_match(self):
+        """Hole voxels adopt labels from grey dilation of the surround —
+        with two labels bordering one hole the fill VALUES (not just the
+        mask) must match host exactly across iterations."""
+        img = np.zeros((12, 12, 12), np.int32)
+        img[2:10, 2:10, 2:10] = 1
+        img[6:10, 2:10, 2:10] = 2
+        img[4:8, 4:8, 4:8] = 0  # 64-voxel hole straddling the 1|2 border
+        host, hc = remove_holes(img.copy(), hole_size=64)
+        dev, dc = remove_holes_device(img, hole_size=64)
+        assert hc == 64 and int(dc) == 64
+        np.testing.assert_array_equal(np.asarray(dev), host)
+
+    def test_keep_components_speckle_fast_path(self):
+        """Adversarial speckle (hundreds of removed components, the 240^3
+        bench shape in miniature): background holds a keep slot so the
+        fast path runs; it must equal the host's iterative fill exactly."""
+        rng = np.random.default_rng(5)
+        img = (rng.random((20, 20, 20)) < 0.25).astype(np.int32)
+        img[4:14, 4:14, 4:14] = 1  # one dominant blob
+        host, hcomp, helems = keep_components(img.copy(), 1)
+        dev, dcomp, delems = keep_components_device(img, 1, num_classes=2)
+        assert hcomp > 10  # really is speckle
+        np.testing.assert_array_equal(np.asarray(dev), host)
+        assert (int(dcomp), int(delems)) == (hcomp, helems)
+
+    def test_keep_components_deep_interior_removal(self):
+        """A LARGE removed component (deep interior, many erosion shells on
+        the host path) must still collapse to background in one fused pass."""
+        img = np.zeros((24, 24, 24), np.int32)
+        img[1:23, 1:11, 1:23] = 1   # big slab: kept
+        img[2:20, 14:22, 2:20] = 2  # slightly smaller slab: removed (num=1)
+        host, hcomp, helems = keep_components(img.copy(), 1)
+        dev, dcomp, delems = keep_components_device(img, 1, num_classes=3)
+        assert helems > 2000  # the removed slab is genuinely large
+        np.testing.assert_array_equal(np.asarray(dev), host)
+        assert (int(dcomp), int(delems)) == (hcomp, helems)
