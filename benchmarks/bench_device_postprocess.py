@@ -9,7 +9,16 @@ times both ends of the same PatchPredict sweep.
 
 Usage: python benchmarks/bench_device_postprocess.py
 Env: SUBJECTS (default 3), SWEEPS (default 3), SHAPE (default 240,240,176),
-     MODE (host | device | unset = both).
+     MODE (host | device | unset = both),
+     MODEL (threshold | unet, default threshold).
+
+Post-processing cost depends on COMPONENT STRUCTURE, not just voxel
+count. MODEL=threshold emits a realistic segmentation (one organ-scale
+blob with punched holes + a few dozen small islands — what a trained
+model produces); MODEL=unet runs an untrained depth-6 UNet whose argmax
+is adversarial SPECKLE (~millions of components), which overstates both
+paths and at 240^3 once crashed the TPU worker through the pre-hoisting
+device program (PARITY.md "Fused device post-processing").
 """
 import copy
 import json
@@ -36,13 +45,30 @@ def make_subjects(n, shape):
     rng = np.random.default_rng(0)
     subjects = []
     for i in range(n):
-        x = rng.normal(size=(2, *shape)).astype(np.float32)
-        # a blob so the cleanup has real components/holes to chew on
+        x = rng.normal(scale=0.3, size=(2, *shape)).astype(np.float32)
+        # an organ-scale blob with punched holes + a few dozen small
+        # islands: realistic work for hole fill / component keeping
         cx, cy, cz = (s // 2 for s in shape)
-        x[:, cx - 40:cx + 40, cy - 40:cy + 40, cz - 30:cz + 30] += 2.0
+        x[:, cx - 40:cx + 40, cy - 40:cy + 40, cz - 30:cz + 30] += 4.0
+        for _ in range(24):  # interior holes (<= 64 voxels each)
+            hx, hy, hz = (rng.integers(-30, 27) + c for c in (cx, cy, cz))
+            x[:, hx:hx + 3, hy:hy + 3, hz:hz + 3] -= 4.0
+        for _ in range(48):  # scattered small islands
+            px = [rng.integers(2, s - 4) for s in shape]
+            x[:, px[0]:px[0] + 2, px[1]:px[1] + 2, px[2]:px[2] + 2] += 4.0
         subjects.append(sp.Subject({"name": f"s{i}",
                                     "X": sp.ScalarImage(tensor=x)}))
     return subjects
+
+
+def threshold_model(x):
+    """Stand-in for a TRAINED model: fg where the (blob-structured) input
+    is hot — realistic component structure for the cleanup to chew on."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    fg = (x[:, 0:1] > 2.0).astype(jnp.float32)
+    return jnp.concatenate([1 - fg, fg], axis=1)
 
 
 def run(subjects, model, device_post, sweeps):
@@ -79,16 +105,19 @@ def main():
     sweeps = int(os.environ.get("SWEEPS", "3"))
     mode = os.environ.get("MODE")
 
-    model = SegModel(ModularUNet(
-        in_channels=2, out_channels=2, depth=6,
-        filters=[40, 40, 80, 80, 120, 120],
-        block_params={"residual": True},
-        downsample_class=BlurConv3d,
-        downsample_params={"kernel_size": 3, "stride": 2, "padding": 1},
-        upsample_class=BlurConvTranspose3d,
-        upsample_params={"kernel_size": 3, "stride": 2, "padding": 1,
-                         "output_padding": 0},
-        remat=True), seed=0, compute_dtype="bfloat16")
+    if os.environ.get("MODEL", "threshold") == "unet":
+        model = SegModel(ModularUNet(
+            in_channels=2, out_channels=2, depth=6,
+            filters=[40, 40, 80, 80, 120, 120],
+            block_params={"residual": True},
+            downsample_class=BlurConv3d,
+            downsample_params={"kernel_size": 3, "stride": 2, "padding": 1},
+            upsample_class=BlurConvTranspose3d,
+            upsample_params={"kernel_size": 3, "stride": 2, "padding": 1,
+                             "output_padding": 0},
+            remat=True), seed=0, compute_dtype="bfloat16")
+    else:
+        model = threshold_model
     subjects = make_subjects(n_subjects, shape)
 
     results = {}
