@@ -22,9 +22,50 @@ from jax import lax
 _INF = jnp.int32(2 ** 30)
 
 
+def _window_reduce(values: jnp.ndarray, connectivity: int, computation,
+                   init) -> jnp.ndarray:
+    """Reduce over the neighborhood INCLUDING self via windowed reductions
+    (one 3x3x3 reduce_window for the 26-neighborhood, three 1-D passes
+    combined for the 6-cross). Including the center is harmless for the
+    min/max propagation uses here (callers fold in `values` anyway).
+    Out-of-bounds contributes ``init``.
+
+    TPU only: XLA TPU lowers reduce_window onto the vector unit's windowed
+    reductions, while XLA CPU lowers it ~9x SLOWER than the 26 shifted
+    dynamic_slices (measured 45 vs 4.8 ms at 128x128x96 conn-3) — so the
+    CPU/test path keeps the slice form and returns None here."""
+    if jax.default_backend() != "tpu":
+        return None
+    if connectivity == 3:
+        return lax.reduce_window(values, init, computation,
+                                 window_dimensions=(3, 3, 3),
+                                 window_strides=(1, 1, 1),
+                                 padding=((1, 1), (1, 1), (1, 1)))
+    if connectivity == 1:
+        out = None
+        for axis in range(3):
+            dims = [1, 1, 1]
+            dims[axis] = 3
+            pad = [(0, 0)] * 3
+            pad[axis] = (1, 1)
+            part = lax.reduce_window(values, init, computation,
+                                     window_dimensions=tuple(dims),
+                                     window_strides=(1, 1, 1),
+                                     padding=tuple(pad))
+            out = part if out is None else computation(out, part)
+        return out
+    return None  # connectivity 2 (18-neighborhood): no windowed form
+
+
 def _neighbor_min(labels: jnp.ndarray, connectivity: int) -> jnp.ndarray:
     """Min over the 6- (connectivity 1) or 26- (connectivity 3) neighborhood,
-    treating out-of-bounds as +inf. labels: (W, H, D) int32."""
+    treating out-of-bounds as +inf. labels: (W, H, D) int32.
+
+    (The windowed form includes self — identical results for every caller,
+    which all take min(labels, neighbor_min).)"""
+    reduced = _window_reduce(labels, connectivity, jnp.minimum, _INF)
+    if reduced is not None:
+        return reduced
     padded = jnp.pad(labels, 1, constant_values=_INF)
     W, H, D = labels.shape
     best = labels
@@ -104,6 +145,9 @@ def _neighbor_max(values: jnp.ndarray, connectivity: int = 1) -> jnp.ndarray:
     """Grey dilation: max over the cross/full neighborhood INCLUDING self
     (skimage.morphology.dilation semantics — the footprint contains the
     center), out-of-bounds treated as -inf. values: (W, H, D) int32."""
+    reduced = _window_reduce(values, connectivity, jnp.maximum, -_INF)
+    if reduced is not None:
+        return reduced
     padded = jnp.pad(values, 1, constant_values=-_INF)
     W, H, D = values.shape
     best = values
