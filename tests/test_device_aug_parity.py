@@ -1,0 +1,217 @@
+"""Distributional parity: every fused device augmentation op vs its host
+transform (VERDICT r3 #3).
+
+The device ops draw from explicit PRNG keys while the host transforms draw
+from numpy Generators, so parity is distributional (SURVEY §7 "randomness
+parity"): identical input, many draws on each side, output statistics must
+agree.  Deterministic ops (rescale, the elastic FIELD construction, the blur
+kernel) are compared exactly.
+
+Tolerances are calibrated against the sampling noise of K=48 draws at 24^3
+(means agree to a few percent; spread statistics are noisier).  A device op
+whose distribution drifts from transforms/intensity.py /
+transforms/random_spatial.py fails here.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import ndimage as ndi
+
+from segmentation_pipeline_tpu.core.subject import ScalarImage, Subject
+from segmentation_pipeline_tpu.ops import augment as A
+from segmentation_pipeline_tpu.transforms import (
+    RandomAffine,
+    RandomBiasField,
+    RandomBlur,
+    RandomElasticDeformation,
+    RandomGamma,
+    RandomNoise,
+    RescaleIntensity,
+    seed_all,
+)
+from segmentation_pipeline_tpu.transforms.random_spatial import ElasticDeformation
+
+K = 48
+S = 24
+
+
+@pytest.fixture(scope="module")
+def volume():
+    rng = np.random.default_rng(0)
+    base = ndi.gaussian_filter(rng.normal(size=(S, S, S)).astype(np.float32), 1.5)
+    return (base - base.min()) / (base.max() - base.min())
+
+
+def host_draws(transform, img, stat, n=K):
+    seed_all(1234)
+    out = []
+    for _ in range(n):
+        s = Subject(name="s", folder="/tmp")
+        s["img"] = ScalarImage(tensor=img[None].copy(), affine=np.eye(4))
+        transform(s, record=False)
+        out.append(stat(np.asarray(s["img"].data)[0]))
+    return np.asarray(out)
+
+
+def dev_draws(op, stat, n=K):
+    return np.asarray([stat(np.asarray(op(jax.random.PRNGKey(i)))[..., 0])
+                       for i in range(n)])
+
+
+def assert_close(host_vals, dev_vals, mean_rtol, spread_rtol=None, label=""):
+    hm, dm = host_vals.mean(), dev_vals.mean()
+    assert abs(hm - dm) <= mean_rtol * max(abs(hm), abs(dm)), \
+        f"{label}: mean host={hm:.5f} dev={dm:.5f} (rtol {mean_rtol})"
+    if spread_rtol is not None:
+        hs, ds = host_vals.std(), dev_vals.std()
+        assert abs(hs - ds) <= spread_rtol * max(hs, ds), \
+            f"{label}: spread host={hs:.5f} dev={ds:.5f} (rtol {spread_rtol})"
+
+
+class TestDeterministicParity:
+    def test_rescale_exact(self, volume):
+        s = Subject(name="s", folder="/tmp")
+        s["img"] = ScalarImage(tensor=volume[None].copy(), affine=np.eye(4))
+        RescaleIntensity((-1, 1), (1.0, 99.0))(s, record=False)
+        host = np.asarray(s["img"].data)[0]
+        dev = np.asarray(A.rescale_intensity(
+            jnp.asarray(volume[..., None]), -1, 1, (1.0, 99.0)))[..., 0]
+        np.testing.assert_allclose(dev, host, atol=1e-5)
+
+    def test_elastic_field_construction_exact(self):
+        """Same control grid -> same dense displacement field: the device
+        contracts with the SAME trace-time B-spline basis matrices the host
+        ElasticDeformation.dense_field uses."""
+        rng = np.random.default_rng(3)
+        cg = rng.uniform(-5, 5, size=(3, 7, 6, 5)).astype(np.float32)
+        host = ElasticDeformation.dense_field(cg, (S, 20, 16))
+        dev = np.asarray(A.elastic_dense_field(jnp.asarray(cg), (S, 20, 16)))
+        np.testing.assert_allclose(dev, host, atol=1e-4)
+
+    def test_blur_kernel_matches_scipy(self):
+        """Fixed sigmas: the separable device blur reproduces
+        scipy.ndimage.gaussian_filter (truncate=4, mode='reflect') — the
+        host RandomBlur's kernel — to fp precision, per channel."""
+        rng = np.random.default_rng(1)
+        vol = rng.normal(size=(12, 14, 10, 2)).astype(np.float32)
+        sig = np.array([[0.7, 0.0], [1.3, 0.4], [0.0, 1.0]], np.float32)
+        dev = np.asarray(A.gaussian_blur(jnp.asarray(vol), jnp.asarray(sig),
+                                         radius=6))
+        ref = np.stack([ndi.gaussian_filter(vol[..., c], sigma=sig[:, c])
+                        for c in range(2)], -1)
+        np.testing.assert_allclose(dev, ref, atol=1e-5)
+
+
+class TestStochasticParity:
+    def test_noise(self, volume):
+        stat = lambda a: (a - volume).std()  # noqa: E731 — per-draw sigma
+        h = host_draws(RandomNoise(std=0.1), volume, stat)
+        d = dev_draws(lambda k: A.random_noise(
+            k, jnp.asarray(volume[..., None]), 0.1), stat)
+        # sigma ~ U(0, 0.1): mean 0.05, spread 0.029
+        assert_close(h, d, mean_rtol=0.25, spread_rtol=0.4, label="noise")
+
+    def test_gamma(self, volume):
+        stat = lambda a: a.mean()  # noqa: E731
+        h = host_draws(RandomGamma(log_gamma=(-0.3, 0.3)), volume, stat)
+        d = dev_draws(lambda k: A.random_gamma(
+            k, jnp.asarray(volume[..., None]), (-0.3, 0.3)), stat)
+        assert_close(h, d, mean_rtol=0.05, spread_rtol=0.35, label="gamma")
+
+    def test_bias_field(self, volume):
+        pos = volume + 0.5
+        xpos = jnp.asarray(pos[..., None])
+        stat = lambda a: np.log(a / pos).std()  # noqa: E731 — field spread
+        h = host_draws(RandomBiasField(coefficients=0.5), pos, stat)
+        d = dev_draws(lambda k: A.random_bias_field(k, xpos, 0.5), stat)
+        assert_close(h, d, mean_rtol=0.15, spread_rtol=0.5, label="bias")
+
+    def test_blur(self, volume):
+        stat = lambda a: a.var()  # noqa: E731 — smoothing shrinks variance
+        h = host_draws(RandomBlur((0, 1)), volume, stat)
+        d = dev_draws(lambda k: A.random_blur(
+            k, jnp.asarray(volume[..., None]), (0.0, 1.0)), stat)
+        assert_close(h, d, mean_rtol=0.1, spread_rtol=0.5, label="blur")
+        assert d.mean() < volume.var()  # it actually blurred
+
+    def test_elastic(self, volume):
+        stat = lambda a: np.abs(a - volume).mean()  # noqa: E731
+        h = host_draws(RandomElasticDeformation(
+            num_control_points=7, max_displacement=5.0, locked_borders=2),
+            volume, stat)
+        d = dev_draws(lambda k: A.random_elastic_warp(
+            k, jnp.asarray(volume[..., None]), None,
+            (7, 7, 7), (5.0, 5.0, 5.0), 2)[0], stat)
+        assert_close(h, d, mean_rtol=0.1, spread_rtol=0.5, label="elastic")
+
+    def test_affine(self, volume):
+        stat = lambda a: np.abs(a - volume).mean()  # noqa: E731
+        h = host_draws(RandomAffine(scales=0.2, degrees=45,
+                                    default_pad_value="minimum"),
+                       volume, stat)
+        d = dev_draws(lambda k: A.random_affine_warp(
+            k, jnp.asarray(volume[..., None]), None,
+            scales=0.2, degrees=45.0, pad_value="minimum")[0], stat)
+        assert_close(h, d, mean_rtol=0.15, spread_rtol=0.5, label="affine")
+
+    def test_flip_frequencies(self, volume):
+        """Each axis flips with its configured probability (host RandomFlip
+        flips each listed axis independently at flip_probability)."""
+        x = jnp.asarray(volume[..., None])
+        n = 200
+        flips = np.zeros(3)
+        for i in range(n):
+            out = np.asarray(A.random_flip(
+                jax.random.PRNGKey(i), x, None, axes=(0, 1, 2),
+                flip_probability=0.5)[0])[..., 0]
+            # recover the flip combination by matching all 8 candidates
+            for bits in range(8):
+                cand = volume
+                for ax in range(3):
+                    if bits >> ax & 1:
+                        cand = np.flip(cand, ax)
+                if np.array_equal(out, cand):
+                    for ax in range(3):
+                        flips[ax] += bits >> ax & 1
+                    break
+            else:
+                raise AssertionError("output is not a pure flip combination")
+        for ax in range(3):
+            assert 0.35 < flips[ax] / n < 0.65  # Binomial(200, 0.5)
+
+    def test_permute_uniform_over_six(self, volume):
+        from itertools import permutations
+
+        x = jnp.asarray(volume[..., None])
+        counts = {p: 0 for p in permutations((0, 1, 2))}
+        n = 120
+        for i in range(n):
+            k1, k2 = jax.random.split(jax.random.PRNGKey(i))
+            out = np.asarray(A.random_permute(k1, k2, x, None, p=1.0)[0])[..., 0]
+            for p in counts:
+                if np.array_equal(out, np.transpose(volume, p)):
+                    counts[p] += 1
+                    break
+        assert sum(counts.values()) == n  # every output is a pure permute
+        for p, c in counts.items():
+            assert c >= 8, (p, counts)  # expected 20 each
+
+    def test_full_pipeline_reference_strength_stats(self, volume):
+        """End-to-end: the dmri reference-strength device pipeline produces
+        outputs in the declared range with per-draw variability (the
+        augmentation is actually ON at reference strength)."""
+        from segmentation_pipeline_tpu.ops.augment import (
+            DMRI_REFERENCE_CONFIG, augment_batch)
+
+        X = jnp.asarray(np.stack([volume, volume])[..., None])
+        outs = []
+        for i in range(8):
+            X2, _ = augment_batch(jax.random.PRNGKey(i), X,
+                                  config=DMRI_REFERENCE_CONFIG)
+            outs.append(np.asarray(X2))
+        outs = np.stack(outs)
+        assert outs.min() >= -1 - 1e-5 and outs.max() <= 1 + 1e-5
+        # different draws differ, and the two batch samples differ
+        assert not np.allclose(outs[0], outs[1])
+        assert not np.allclose(outs[0][0], outs[0][1])
