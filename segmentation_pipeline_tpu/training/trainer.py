@@ -98,7 +98,16 @@ class SegmentationTrainer:
         self.validation_dataloader_factory = validation_dataloader_factory
         self.mesh = mesh
         # optional fused on-device augmentation applied to each training
-        # batch (ops/augment.py config dict; {} for defaults)
+        # batch: an ops/augment.py config dict ({} for defaults), or "auto"
+        # to derive the config from the training cohort's DECLARED transform
+        # pipeline (training/auto_augment.py) — the reference's declarative
+        # augmentation semantics (ref main_config.py:86-100) on the
+        # TPU-native path, with the deterministic prefix/suffix left on host
+        if isinstance(device_augmentation, str) \
+                and device_augmentation != "auto":
+            raise ValueError(
+                f"device_augmentation={device_augmentation!r}: pass a config "
+                f"dict, {{}} for defaults, None, or 'auto'")
         self.device_augmentation = device_augmentation
         # spatially-sharded training: shard each volume's W axis over this
         # mesh axis and train through make_spatial_train_step (whole volumes
@@ -192,6 +201,50 @@ class SegmentationTrainer:
         logger.setup(context)
 
         training_dataset = context.dataset.get_cohort_dataset("training")
+
+        # Resolve device_augmentation="auto": derive the fused device config
+        # from the cohort's declared pipeline and swap the dataset onto the
+        # deterministic remainder (prefix preprocessing + model-io suffix).
+        device_aug = self.device_augmentation
+        if device_aug == "auto":
+            from .auto_augment import derive_device_augmentation, describe_config
+
+            declared = training_dataset.transform
+            host_t, aug_cfg = derive_device_augmentation(declared)
+            if aug_cfg is None:
+                print("device_augmentation='auto': the training pipeline "
+                      "declares no stochastic transforms; device "
+                      "augmentation disabled.")
+                device_aug = None
+            else:
+                training_dataset.set_transform(host_t)
+                # mm-parameterized augs (blur/elastic) need the spacing AT
+                # the augmentation point: probe one transformed sample
+                if aug_cfg.get("blur_p", 0) or aug_cfg.get("elastic_p", 0) \
+                        or aug_cfg.get("spatial_mode") == "oneof":
+                    probe = training_dataset[0]
+                    spacing = tuple(float(s) for s in probe["X"].spacing)
+                    _, aug_cfg = derive_device_augmentation(declared, spacing)
+                device_aug = aug_cfg
+                print(f"device_augmentation='auto': {describe_config(aug_cfg)}")
+
+        # Frozen-augmentation guard: device_cache pretransforms the training
+        # set ONCE into HBM; a still-stochastic host pipeline would bake a
+        # single random draw in for the whole run — silently training on one
+        # frozen augmentation instead of the declared distribution.
+        if self.device_cache:
+            from .auto_augment import contains_random
+
+            if not training_dataset._pretransformed \
+                    and contains_random(training_dataset.transform):
+                raise ValueError(
+                    "device_cache=True pretransforms the training set once, "
+                    "which would FREEZE the stochastic transforms in the "
+                    "training pipeline into a single draw baked into HBM. "
+                    "Pass device_augmentation='auto' to map them onto the "
+                    "fused device pipeline (training/auto_augment.py), or "
+                    "strip them from the cohort transform explicitly.")
+
         if preload_training_data or pretransform_training_data:
             t = time.time()
             print("Preloading training data...")
@@ -199,6 +252,18 @@ class SegmentationTrainer:
                 # apply the (deterministic) pipeline once; per-iteration host
                 # work shrinks to deepcopy+collate — pair with
                 # device_augmentation so augs still vary every step
+                from .auto_augment import contains_random
+
+                if contains_random(training_dataset.transform):
+                    import warnings
+
+                    warnings.warn(
+                        "pretransform_training_data=True freezes the "
+                        "stochastic transforms in the training pipeline into "
+                        "a single draw (reference preload semantics, ref "
+                        "segmentation_trainer.py:126-139). Pass "
+                        "device_augmentation='auto' to keep augmenting per "
+                        "step on device.")
                 training_dataset.preload_and_transform_subjects()
             else:
                 training_dataset.preload_subjects()
@@ -264,7 +329,7 @@ class SegmentationTrainer:
         max_iterations = int(max_iterations if max_iterations is not None else 10 ** 9)
 
         refine_image = getattr(self.train_predictor, "refine_image", None)
-        if refine_image is not None and self.device_augmentation is not None:
+        if refine_image is not None and device_aug is not None:
             raise ValueError(
                 "device_augmentation with a refine_image (cascade) predictor "
                 "is not supported: geometric augmentation would misalign the "
@@ -336,7 +401,7 @@ class SegmentationTrainer:
             # with device augmentation in the loop, keep one-hot labels as
             # uint8 ids through the warp (bit-identical, Cx4 less gather
             # traffic) and expand after augmenting
-            expand_in_cache = self.device_augmentation is None
+            expand_in_cache = device_aug is None
             if isinstance(self.train_dataloader_factory, StandardDataLoader):
                 cache = DeviceDataCache(training_dataset.subjects,
                                         x_dtype=x_np_dtype, mesh=self.mesh,
@@ -442,7 +507,7 @@ class SegmentationTrainer:
                     [np.asarray(s[refine_image].data) for s in subjects]
                 ).astype(np.float32)
             batch_dev = collate_to_device(batch_cf, mesh=self.mesh)
-            if self.device_augmentation is None:
+            if device_aug is None:
                 batch_dev = _expand_batch(batch_dev)
             # else: compact uint8 ids warp through the device augmentation
             # first (bit-identical, far less gather traffic), expanded after
@@ -504,10 +569,10 @@ class SegmentationTrainer:
                                                      compute_dtype=self.compute_dtype,
                                                      refine_image=refine_image)
 
-                if self.device_augmentation is not None:
+                if device_aug is not None:
                     from ..ops.augment import augment_batch
 
-                    aug_cfg = dict(self.device_augmentation)
+                    aug_cfg = dict(device_aug)
                     if "affine_batching" not in aug_cfg:
                         # lax.map keeps the warp's gathers unbatched (2.4x on
                         # one chip, PARITY.md) but a scan over a SHARDED
@@ -578,14 +643,14 @@ class SegmentationTrainer:
                     if callable(subjects):  # device-cache lazy batch subjects
                         subjects = subjects()
                     y_pred_cf = np.asarray(to_channels_first(y_pred_cl))
-                    if self.device_augmentation is not None:
+                    if device_aug is not None:
                         # the prediction lives in the augmented geometry: write
                         # the augmented target back so the evaluator compares
                         # aligned volumes (the reference augments in the host
                         # pipeline, so its subject['y'] is augmented too)
                         y_aug_cf = np.asarray(to_channels_first(batch["y"]))
                     for i, subject in enumerate(subjects):
-                        if self.device_augmentation is not None and "y" in subject:
+                        if device_aug is not None and "y" in subject:
                             subject["y"].set_data(
                                 y_aug_cf[i].astype(np.asarray(subject["y"].data).dtype))
                         _attach_prediction(subject, y_pred_cf[i], label_attributes)
