@@ -214,9 +214,17 @@ def cbbrain_dice_score(evaluation_dict) -> float:
 
 
 def get_context(device=None, variables=None, fold=0, predict_hbt=False,
-                training_batch_size=4, crop_shape=(96, 88, 24), filters=40):
+                training_batch_size=4, crop_shape=(96, 88, 24), filters=40,
+                tpu_fast_path=False):
     """crop_shape/filters default to the reference config
-    (main_config.py:80,126); override only for small-scale smoke tests."""
+    (main_config.py:80,126); override only for small-scale smoke tests.
+
+    tpu_fast_path=True turns on the TPU-native training levers with NO
+    hand-written augmentation dict: device_cache=True (training set lives
+    in HBM, deterministic pipeline pretransformed once) and
+    device_augmentation="auto" (training/auto_augment.py derives the fused
+    device config from THIS file's declared pipeline, main_config.py:86-100
+    semantics preserved end-to-end)."""
     context = Context(device, name="dmri-hippo", variables=variables)
     context.file_paths.append(os.path.abspath(__file__))
     context.config.update({"fold": fold})
@@ -252,5 +260,8 @@ def get_context(device=None, variables=None, fold=0, predict_hbt=False,
                           train_dataloader_factory=StandardDataLoader(
                               sampler=RandomSampler),
                           validation_dataloader_factory=StandardDataLoader(
-                              sampler=SequentialSampler))
+                              sampler=SequentialSampler),
+                          device_cache=tpu_fast_path,
+                          device_augmentation=(
+                              "auto" if tpu_fast_path else None))
     return context

@@ -41,7 +41,8 @@ def main(args):
     dataset_path = prepare_dataset_files(args.dataset_path, args.work_path)
     context = main_config.get_context(
         variables={"DATASET_PATH": str(dataset_path)},
-        fold=args.fold, predict_hbt=args.predict_hbt)
+        fold=args.fold, predict_hbt=args.predict_hbt,
+        tpu_fast_path=getattr(args, "tpu_fast_path", False))
     _train(context, args.logging_path, args.max_training_time, args.num_workers,
            max_iterations=args.max_iterations)
 
@@ -107,6 +108,11 @@ def build_parser():
         p.add_argument("--max-training-time", default=None)
         p.add_argument("--max-iterations", type=int, default=100000)
         p.add_argument("--num-workers", type=int, default=4)
+        p.add_argument("--tpu-fast-path", action="store_true",
+                       help="device_cache + device_augmentation='auto': "
+                            "training volumes live in HBM and the declared "
+                            "augmentation pipeline (main_config.py:86-100 "
+                            "semantics) runs fused on device")
 
     p = sub.add_parser("main")
     common(p)

@@ -133,9 +133,17 @@ def nan_aware_lesion_dice(evaluation_dict) -> float:
 
 
 def get_context(device=None, variables=None, fold=0, patch_size=96,
-                filters=(40, 40, 80, 80, 120, 120), **kwargs):
+                filters=(40, 40, 80, 80, 120, 120), tpu_fast_path=False,
+                **kwargs):
     """patch_size/filters default to the reference config (msseg2.py:17,87);
-    override only for small-scale smoke tests."""
+    override only for small-scale smoke tests.
+
+    tpu_fast_path=True turns on the TPU-native training levers with NO
+    hand-written augmentation dict: device_cache=True (volumes live in HBM,
+    patches sampled on device) and device_augmentation="auto"
+    (training/auto_augment.py derives the fused device config from THIS
+    file's declared pipeline, msseg2.py:44-57 semantics; the augmentation
+    applies to the sampled 96^3 patch — documented divergence, PARITY.md)."""
     context = Context(device, name="msseg2", variables=variables)
     context.file_paths.append(os.path.abspath(__file__))
     context.config = {"fold": fold, "patch_size": patch_size}
@@ -214,5 +222,7 @@ def get_context(device=None, variables=None, fold=0, patch_size=96,
             sampler=WeightedSampler(patch_size=patch_size,
                                     probability_map="patch_probability")),
         validation_dataloader_factory=StandardDataLoader(
-            sampler=SequentialSampler))
+            sampler=SequentialSampler),
+        device_cache=tpu_fast_path,
+        device_augmentation="auto" if tpu_fast_path else None)
     return context

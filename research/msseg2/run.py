@@ -19,11 +19,16 @@ def main():
     parser.add_argument("--max-training-time", default=None)
     parser.add_argument("--max-iterations", type=int, default=100000)
     parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--tpu-fast-path", action="store_true",
+                        help="device_cache + device_augmentation='auto': "
+                             "volumes live in HBM and the declared "
+                             "augmentation pipeline (msseg2.py:44-57) runs "
+                             "fused on device")
     args = parser.parse_args()
 
     dataset_path = prepare_dataset_files(args.dataset_path, args.work_path)
     context = get_context(variables={"DATASET_PATH": str(dataset_path)},
-                          fold=args.fold)
+                          fold=args.fold, tpu_fast_path=args.tpu_fast_path)
     context.init_components()
     context.trainer.train(
         context=context,

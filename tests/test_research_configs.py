@@ -172,6 +172,61 @@ class TestDmriHippoConfig:
             assert len(training.transforms) == expected_len
 
 
+class TestTpuFastPath:
+    """tpu_fast_path=True (VERDICT r3 #2 done criterion): the research
+    configs run device_cache=True + device_augmentation='auto' with no
+    hand-written dict — the declared pipelines (ref main_config.py:86-100,
+    ref msseg2.py:44-57) derive onto the fused device augmentation."""
+
+    def test_dmri_fast_path_trains(self, hippo_root, tmp_path, capsys):
+        context = main_config.get_context(
+            variables={"DATASET_PATH": str(hippo_root)}, fold=0,
+            crop_shape=CROP, filters=4, training_batch_size=2,
+            tpu_fast_path=True)
+        context.init_components()
+        assert context.trainer.device_cache is True
+        assert context.trainer.device_augmentation == "auto"
+        logger = FileLogger(str(tmp_path))
+        context.trainer.train(context, max_iterations=3, logger=logger)
+        out = capsys.readouterr().out
+        # the derived config carries the reference augmentation strength
+        assert "device_augmentation='auto'" in out
+        assert "elastic(p=0.5)" in out
+        assert "blur(p=0.2)" in out
+        metrics = [json.loads(l) for l in open(logger.run_dir / "metrics.jsonl")]
+        assert len(metrics) == 3
+        assert all(np.isfinite(m["loss"]) for m in metrics)
+
+    def test_msseg2_fast_path_trains(self, tmp_path, capsys):
+        rng = np.random.default_rng(3)
+        data = tmp_path / "data"
+        for i in range(2):
+            d = data / f"sub{i}"
+            d.mkdir(parents=True)
+            img = rng.normal(size=(1, 24, 24, 24)).astype(np.float32)
+            seg = np.zeros((1, 24, 24, 24), np.int16)
+            seg[:, 8:14, 8:14, 8:14] = 1
+            mask = np.ones_like(seg)
+            sp.write_nifti(d / "flair_time01.nii.gz", img, np.eye(4))
+            sp.write_nifti(d / "flair_time02.nii.gz", img + 0.1, np.eye(4))
+            sp.write_nifti(d / "brain_mask.nii.gz", mask, np.eye(4))
+            sp.write_nifti(d / "ground_truth.nii.gz", seg, np.eye(4))
+        context = msseg2_config.get_context(
+            variables={"DATASET_PATH": str(data)}, fold=0,
+            patch_size=16, filters=(4, 4, 8), tpu_fast_path=True)
+        context.init_components()
+        logger = FileLogger(str(tmp_path / "logs"))
+        context.trainer.train(context, max_iterations=3, logger=logger)
+        out = capsys.readouterr().out
+        assert "device_augmentation='auto'" in out
+        # the msseg2 spatial OneOf (ref msseg2.py:47-50) derived through
+        assert "oneof(p=0.75, affine_w=0.80)" in out
+        assert "permute(p=1.0)" in out
+        metrics = [json.loads(l) for l in open(logger.run_dir / "metrics.jsonl")]
+        assert len(metrics) == 3
+        assert all(np.isfinite(m["loss"]) for m in metrics)
+
+
 class TestMsseg2Config:
     def test_context_builds_and_samples(self, tmp_path):
         rng = np.random.default_rng(1)
