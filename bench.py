@@ -146,7 +146,12 @@ def msseg2_bench():
     y = np.stack([1 - lab, lab], axis=1)
     batch_cf = {"X": X, "y": y}
     state = create_train_state(model, optimizer, batch_cf)
-    step = make_train_step(model.module, criterion, optimizer)
+    # COMPUTE_DTYPE=bfloat16 runs the network fwd/bwd in bf16 (params/optim/
+    # loss stay f32) — the C=80-120 msseg2 layers are where the channel-width
+    # sweep (PARITY.md) says bf16 starts paying, unlike the C=40 dmri model
+    compute_dtype = os.environ.get("COMPUTE_DTYPE") or None
+    step = make_train_step(model.module, criterion, optimizer,
+                           compute_dtype=compute_dtype)
     batch = collate_to_device(batch_cf)
     # same honest single-dispatch methodology as main() (tunnel memoizes
     # repeated identical dispatches; block_until_ready can be a no-op)
@@ -186,6 +191,7 @@ def msseg2_bench():
         "metric": ("msseg2 patch train throughput (batch %d, 96^3x2ch, "
                    "depth-6 BlurConv UNet, remat)" % pbatch),
         "value": round(pps, 3),
+        "compute_dtype": os.environ.get("COMPUTE_DTYPE") or "float32",
         "unit": "patches/sec/chip",
         "vs_baseline": round(pps / baseline, 1) if baseline else None,
     }))

@@ -44,10 +44,19 @@ class _TimedLogger:
 
 
 def _device_aug_config():
-    """DEVICE_AUG=0 -> None; WARP_GATHER=bfloat16 taps the affine warp's
-    image gathers from a bf16 source copy (PARITY.md "Source-dtype levers")."""
-    if os.environ.get("DEVICE_AUG", "1") != "1":
+    """DEVICE_AUG=0 -> None; DEVICE_AUG=1 -> DEFAULT_CONFIG (the historical
+    aug-light measurement); DEVICE_AUG=auto -> device_augmentation="auto":
+    the bench declares the REFERENCE training pipeline (elastic p=0.5 /
+    spatial OneOf, blur p=0.2, reference noise) and the trainer derives the
+    fused device config from it (training/auto_augment.py) — the
+    reference-strength rows in PARITY.md.  WARP_GATHER=bfloat16 taps the
+    affine warp's image gathers from a bf16 source copy (PARITY.md
+    "Source-dtype levers"; dict modes only)."""
+    mode = os.environ.get("DEVICE_AUG", "1")
+    if mode == "0":
         return None
+    if mode == "auto":
+        return "auto"
     cfg = {}
     gd = os.environ.get("WARP_GATHER")
     if gd:
@@ -91,13 +100,31 @@ def build(root: Path):
         "validation": sp.RequireAttributes({"fold": 0}),
     }
     # mirrors research/dmri_hippo/configs/main_config.py preprocessing
-    transforms = {"default": sp.Compose([
+    model_io = sp.Compose([
         sp.RescaleIntensity((-1, 1), (0.5, 99.5)),
         sp.ConcatenateImages(image_names=["mean_dwi", "md", "fa"],
                              image_channels=[1, 1, 1], new_image_name="X"),
         sp.RenameProperty(old_name="whole_roi", new_name="y"),
         sp.CustomOneHot(include=["y"]),
-    ])}
+    ])
+    transforms = {"default": model_io}
+    if os.environ.get("DEVICE_AUG") == "auto":
+        # the REFERENCE augmentation block (ref main_config.py:86-100);
+        # device_augmentation="auto" derives the fused device config from it
+        noise = sp.RandomNoise(std=0.035, p=0.3)
+        blur = sp.RandomBlur((0, 1), p=0.2)
+        augmentation = sp.Compose([
+            sp.RandomFlip(axes=(0, 1, 2)),
+            sp.RandomElasticDeformation(p=0.5, num_control_points=(7, 7, 4),
+                                        locked_borders=1,
+                                        image_interpolation="bspline"),
+            sp.RandomBiasField(p=0.5),
+            sp.RescaleIntensity((0, 1), (0.01, 99.9)),
+            sp.RandomGamma(p=0.8),
+            sp.RescaleIntensity((-1, 1)),
+            sp.OneOf([sp.Compose([blur, noise]), sp.Compose([noise, blur])]),
+        ])
+        transforms["training"] = sp.Compose([augmentation, model_io])
 
     eval_interval = int(os.environ.get("EVAL_INTERVAL", "0"))
     validation_evaluators = []
@@ -178,7 +205,7 @@ def build_msseg2(root: Path):
     ])
     cohorts = {"training": sp.RequireAttributes(["t1"]),
                "validation": sp.RequireAttributes({"fold": 0})}
-    transforms = {"default": sp.Compose([
+    model_io = sp.Compose([
         sp.RescaleIntensity((-1, 1), (0.5, 99.5)),
         sp.ConcatenateImages(image_names=["t1", "t2"], image_channels=[1, 1],
                              new_image_name="X"),
@@ -186,7 +213,26 @@ def build_msseg2(root: Path):
         sp.ImageFromLabels(new_image_name="patch_probability",
                            label_weights=[("y", "lesion", 100)]),
         sp.CustomOneHot(include=["y"]),
-    ])}
+    ])
+    transforms = {"default": model_io}
+    if os.environ.get("DEVICE_AUG") == "auto":
+        # the REFERENCE msseg2 augmentation block (ref msseg2.py:44-57)
+        augmentation = sp.Compose([
+            sp.RandomPermuteDimensions(),
+            sp.RandomFlip(axes=(0, 1, 2)),
+            sp.OneOf({
+                sp.RandomElasticDeformation(): 0.2,
+                sp.RandomAffine(scales=0.2, degrees=45,
+                                default_pad_value="otsu"): 0.8,
+            }, p=0.75),
+            sp.RandomBiasField(p=0.5),
+            sp.RescaleIntensity((0, 1), (0.01, 99.9)),
+            sp.RandomGamma(p=0.8),
+            sp.RescaleIntensity((-1, 1)),
+            sp.RandomBlur((0, 1), p=0.2),
+            sp.RandomNoise(std=0.1, p=0.35),
+        ])
+        transforms["training"] = sp.Compose([augmentation, model_io])
 
     context = sp.Context(name="bench-msseg2",
                          variables={"DATASET_PATH": str(root)})
@@ -230,6 +276,100 @@ def build_msseg2(root: Path):
     return context
 
 
+
+def build_qsm(root: Path):
+    """10-class deep-grey-matter workload (ref research/qsm_deep_grey_matter/
+    qsm_deep_grey_matter.py:7-65): T1+QSM -> NestedResUNet(2->10, f=40) at a
+    synthetic post-crop shape (120, 144, 96). The 10-class label path is
+    where the uint8-ids/bitpack levers scale with class count (PARITY.md);
+    the sweep (EVAL_INTERVAL) exercises the (L+1)^2 device confusion fetch
+    at L=9."""
+    import segmentation_pipeline_tpu as sp
+
+    rng = np.random.default_rng(0)
+    shape = tuple(int(x) for x in
+                  os.environ.get("VOLUME_SHAPE", "120,144,96").split(","))
+    n_sub = int(os.environ.get("SUBJECTS", "6"))
+    for i in range(n_sub):
+        d = root / "subjects" / f"sub-{i:02d}"
+        d.mkdir(parents=True)
+        t1 = rng.normal(scale=0.3, size=(1, *shape)).astype(np.float32)
+        qsm = rng.normal(scale=0.3, size=(1, *shape)).astype(np.float32)
+        seg = np.zeros((1, *shape), np.int16)
+        # 9 foreground structures (the post remove/merge/sequential classes)
+        for cls in range(1, 10):
+            c = [rng.integers(16, s - 16) for s in shape]
+            r = int(rng.integers(4, 9))
+            seg[0, c[0] - r:c[0] + r, c[1] - r:c[1] + r, c[2] - r:c[2] + r] = cls
+        t1[seg > 0] += 1.0
+        qsm[seg > 0] += 0.5
+        sp.write_nifti(d / "t1.nii.gz", t1, np.eye(4))
+        sp.write_nifti(d / "qsm.nii.gz", qsm, np.eye(4))
+        sp.write_nifti(d / "dgm.nii.gz", seg, np.eye(4))
+        with open(d / "attributes.json", "w") as f:
+            json.dump({"fold": i % 3}, f)
+
+    label_values = {f"structure_{k}": k for k in range(1, 10)}
+    loader = sp.ComposeLoaders([
+        sp.ImageLoader(glob_pattern="t1.*", image_name="t1",
+                       image_constructor=sp.ScalarImage),
+        sp.ImageLoader(glob_pattern="qsm.*", image_name="qsm",
+                       image_constructor=sp.ScalarImage),
+        sp.ImageLoader(glob_pattern="dgm.*", image_name="dgm",
+                       image_constructor=sp.LabelMap,
+                       label_values=label_values),
+        sp.AttributeLoader(glob_pattern="attributes.*"),
+    ])
+    cohorts = {"training": sp.ForbidAttributes({"fold": 0}),
+               "validation": sp.RequireAttributes({"fold": 0})}
+    transforms = {"default": sp.Compose([
+        sp.RescaleIntensity((-1, 1), (0.1, 99.9)),
+        sp.ConcatenateImages(image_names=["t1", "qsm"], image_channels=[1, 1],
+                             new_image_name="X"),
+        sp.CopyProperty(old_name="dgm", new_name="y"),
+        sp.CustomOneHot(num_classes=10, include=["y"]),
+    ])}
+
+    eval_interval = int(os.environ.get("EVAL_INTERVAL", "0"))
+    validation_evaluators = []
+    if eval_interval:
+        validation_evaluators = [sp.ScheduledEvaluation(
+            evaluator=sp.SegmentationEvaluator("y_pred_eval", "y_eval"),
+            log_name="segmentation_eval", cohorts=["validation"],
+            interval=eval_interval)]
+
+    context = sp.Context(name="bench-qsm",
+                         variables={"DATASET_PATH": str(root)})
+    context.add_component("dataset", sp.SubjectFolder, root="$DATASET_PATH",
+                          subject_path="subjects", subject_loader=loader,
+                          cohorts=cohorts, transforms=transforms)
+    context.add_component("model", sp.NestedResUNet, input_channels=2,
+                          output_channels=10, filters=40, dropout_p=0.2)
+    context.add_component("optimizer", sp.Adam, lr=2e-4)
+    context.add_component("criterion", sp.HybridLogisticDiceLoss)
+    context.add_component(
+        "trainer", sp.SegmentationTrainer,
+        training_batch_size=int(os.environ.get("BATCH", "4")),
+        save_rate=10 ** 9, scoring_interval=10 ** 9,
+        scoring_function=lambda d: -d["loss"], one_time_evaluators=[],
+        training_evaluators=[], validation_evaluators=validation_evaluators,
+        max_iterations_with_no_improvement=10 ** 9,
+        train_predictor=sp.StandardPredict(image_names=["X", "y"]),
+        validation_predictor=sp.StandardPredict(
+            image_names=["X"],
+            device_argmax=os.environ.get("VAL_ARGMAX", "1") == "1"),
+        train_dataloader_factory=sp.StandardDataLoader(
+            sampler=sp.RandomSampler),
+        validation_dataloader_factory=sp.StandardDataLoader(
+            sampler=sp.SequentialSampler),
+        device_augmentation=_device_aug_config(),
+        compute_dtype=os.environ.get("COMPUTE_DTYPE") or None,
+        device_cache=os.environ.get("DEVICE_CACHE", "0") == "1",
+        device_confusion=(
+            False if os.environ.get("DEVICE_CONFUSION", "1") == "0" else None))
+    return context
+
+
 def main():
     workload = os.environ.get("WORKLOAD", "dmri")
     iters = int(os.environ.get("ITERS", "60" if workload == "dmri" else "25"))
@@ -238,7 +378,8 @@ def main():
 
     tmp = Path(tempfile.mkdtemp(prefix="bench_sustained_"))
     try:
-        context = build(tmp) if workload == "dmri" else build_msseg2(tmp)
+        builders = {"dmri": build, "msseg2": build_msseg2, "qsm": build_qsm}
+        context = builders[workload](tmp)
         context.init_components()
         logger = _TimedLogger()
         context.trainer.train(context, max_iterations=iters, logger=logger,
@@ -269,6 +410,9 @@ def main():
             "msseg2": ("msseg2 SUSTAINED patch-training loop (weighted 96^3 "
                        "patch sampling + device aug + per-iter logging)",
                        "patches/sec"),
+            "qsm": ("qsm deep-grey-matter SUSTAINED trainer loop (10-class "
+                    "NestedResUNet, 120x144x96x2, device aug + per-iter "
+                    "logging)", "volumes/sec"),
         }
         metric, unit = names[workload]
         print(json.dumps({
