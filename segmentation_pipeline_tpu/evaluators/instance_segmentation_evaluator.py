@@ -16,6 +16,13 @@ import numpy as np
 from .evaluator import Evaluator
 from .labeled_tensor import LabeledTensor
 
+#: subject attribute carrying precomputed on-device overlap histograms
+#: ({(pred_name, target_name, connectivity): {"hist", "n_target",
+#: "n_pred"}}), written by training/device_confusion.py after its probe
+#: sweep proves the device reduction matches this module's host chain
+#: exactly (ops/instance.py)
+DEVICE_INSTANCE_KEY = "_device_instance"
+
 
 def connected_components(mask: np.ndarray, connectivity: int = 2):
     """Label a 3-D boolean mask; connectivity in {1, 2, 3} = 6/18/26
@@ -88,19 +95,36 @@ class InstanceSegmentationEvaluator(Evaluator):
         self.detection_test = detection_test or msseg_detection_test
         self.detection_test_params = detection_test_params or {}
 
+    def _device_entry(self, subject):
+        entries = subject.get(DEVICE_INSTANCE_KEY)
+        if isinstance(entries, dict):
+            return entries.get((self.prediction_label_map_name,
+                                self.target_label_map_name,
+                                self.connectivity))
+        return None
+
     def __call__(self, subjects):
         subject_names = [s["name"] for s in subjects]
         subject_stats = LabeledTensor(dim_names=["subject", "stat"],
                                       dim_keys=[subject_names, list(self.stats_to_output)])
 
         for subject in subjects:
-            pred_mask = np.asarray(subject[self.prediction_label_map_name].data)[0] > 0
-            target_mask = np.asarray(subject[self.target_label_map_name].data)[0] > 0
+            entry = self._device_entry(subject)
+            if entry is not None:
+                # precomputed on device (probe-validated exactly equal to
+                # this host chain; training/device_confusion.py)
+                N, M = entry["n_target"], entry["n_pred"]
+                hist = entry["hist"]
+            else:
+                pred_mask = np.asarray(
+                    subject[self.prediction_label_map_name].data)[0] > 0
+                target_mask = np.asarray(
+                    subject[self.target_label_map_name].data)[0] > 0
 
-            pred_comp, M = connected_components(pred_mask, self.connectivity)
-            target_comp, N = connected_components(target_mask, self.connectivity)
+                pred_comp, M = connected_components(pred_mask, self.connectivity)
+                target_comp, N = connected_components(target_mask, self.connectivity)
 
-            hist = overlap_histogram(target_comp, pred_comp, N, M)
+                hist = overlap_histogram(target_comp, pred_comp, N, M)
 
             target_detected = self.detection_test(hist, **self.detection_test_params)
             prediction_detected = self.detection_test(hist.T, **self.detection_test_params)

@@ -205,16 +205,16 @@ class StandardPredict(Predictor):
             ids_dev = jnp.argmax(y_pred, axis=1).astype(idx_dtype_for(n_ch))
             plan = self._confusion_plan
             if plan is not None:
-                # device confusion reduction (see PatchPredict.finalize)
+                # device confusion/instance reduction (see
+                # PatchPredict.finalize)
                 joint_pairs = []
                 for i, subject in enumerate(subjects):
                     res = plan.device_joint(subject, ids_dev[i], n_ch)
                     if res is not None:
                         joint_pairs.append((subject, res))
-                if joint_pairs:
-                    plan.deliver(joint_pairs)
-                if plan.skip_fetch and len(joint_pairs) == len(subjects):
-                    # validated confusion-only sweep: only counts crossed
+                delivered = plan.deliver(joint_pairs) if joint_pairs else []
+                if plan.skip_fetch and len(delivered) == len(subjects):
+                    # validated reduction-only sweep: only counts crossed
                     # the link; no predictions are attached
                     return list(subjects), batch
             if n_ch <= 255:
@@ -474,6 +474,10 @@ class PatchPredict(Predictor):
         preds = []
         plan = self._confusion_plan if use_argmax else None
         joint_pairs = []
+        # skip-fetch records kept alive until deliver() confirms the
+        # subject's device reductions (an instance component-budget overflow
+        # means its prediction must be late-fetched after all)
+        deferred = []
 
         def finalize(rec):
             """Fetch, unpad and attach one dispatched prediction (in subject
@@ -500,8 +504,11 @@ class PatchPredict(Predictor):
                 if res is not None:
                     joint_pairs.append((subject, res))
                     if plan.skip_fetch:
-                        # validated confusion-only sweep: nothing else is
+                        # validated reduction-only sweep: nothing else is
                         # consumed downstream — skip the fetch and attach
+                        # (deferred records the device ids so an overflow
+                        # discovered at deliver() can still late-fetch)
+                        deferred.append((len(preds), subject, ids_c))
                         out_subjects.append(subject)
                         preds.append(None)
                         return
@@ -632,7 +639,22 @@ class PatchPredict(Predictor):
             finalize(pending)
 
         if joint_pairs:
-            plan.deliver(joint_pairs)  # ONE batched fetch of all counts
+            # ONE batched fetch of all counts; subjects whose instance
+            # reduction overflowed the component budget come back
+            # undelivered and take the (rare) late-fetch path
+            delivered = {id(s) for s in plan.deliver(joint_pairs)}
+            for slot, subject, ids_dev in deferred:
+                if id(subject) in delivered:
+                    continue
+                if n_ch <= 255:
+                    from .ops.bitpack import fetch_ids
+
+                    ids = fetch_ids(ids_dev, n_ch)
+                else:
+                    ids = np.asarray(ids_dev)
+                y_np = ids_to_onehot(ids, n_ch)
+                preds[slot] = y_np
+                _attach_prediction(subject, y_np, label_attributes)
 
         # Contract: batch["y_pred"] is ALWAYS host numpy (N, C, W, H, D) —
         # the aggregated prediction was fetched per subject anyway, and

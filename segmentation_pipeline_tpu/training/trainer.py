@@ -66,6 +66,10 @@ class ScheduledEvaluation:
 
 
 class SegmentationTrainer:
+    #: startup line-item accounting from the latest train() call
+    #: (class-level fallback so pre-existing pickled trainers resume)
+    startup_phases: dict = {}
+
     def __init__(self, training_batch_size: int, save_rate: int,
                  scoring_interval: int, scoring_function: Callable,
                  one_time_evaluators: Sequence[ScheduledEvaluation],
@@ -200,6 +204,12 @@ class SegmentationTrainer:
         print("Initializing logger.")
         logger.setup(context)
 
+        # startup line-item accounting (benchmarks/soak.py reads this):
+        # wall seconds per pre-loop phase + the first iteration / first
+        # sweep (compile or cache-deserialize dominated)
+        phases = self.startup_phases = {}
+        t_train_entry = time.time()
+
         training_dataset = context.dataset.get_cohort_dataset("training")
 
         # Resolve device_augmentation="auto": derive the fused device config
@@ -267,7 +277,8 @@ class SegmentationTrainer:
                 training_dataset.preload_and_transform_subjects()
             else:
                 training_dataset.preload_subjects()
-            print(f"Done. Took {round(time.time() - t, 2)}s")
+            phases["preload_train_s"] = round(time.time() - t, 2)
+            print(f"Done. Took {phases['preload_train_s']}s")
 
         for scheduled in self.validation_evaluators:
             if scheduled.cohorts is None and scheduled.subjects is None:
@@ -283,7 +294,8 @@ class SegmentationTrainer:
             t = time.time()
             print("Preloading validation data...")
             validation_dataset.preload_and_transform_subjects()
-            print(f"Done. Took {round(time.time() - t, 2)}s")
+            phases["preload_val_s"] = round(time.time() - t, 2)
+            print(f"Done. Took {phases['preload_val_s']}s")
             # preloaded validation subjects are static across sweeps, so the
             # predictor can keep their device uploads alive (cache_inputs
             # auto mode; pass cache_inputs=False to opt out). HBM footprint:
@@ -396,7 +408,9 @@ class SegmentationTrainer:
                 t = time.time()
                 print("Pretransforming training data for the device cache...")
                 training_dataset.preload_and_transform_subjects()
-                print(f"Done. Took {round(time.time() - t, 2)}s")
+                phases["pretransform_s"] = round(time.time() - t, 2)
+                print(f"Done. Took {phases['pretransform_s']}s")
+            t = time.time()
 
             # with device augmentation in the loop, keep one-hot labels as
             # uint8 ids through the warp (bit-identical, Cx4 less gather
@@ -451,6 +465,7 @@ class SegmentationTrainer:
                         for j in range(0, n_full, self.training_batch_size):
                             yield order[j:j + self.training_batch_size]
 
+            phases["cache_build_s"] = round(time.time() - t, 2)
             print(f"Device cache: {cache.n_subjects} subjects, "
                   f"{cache.nbytes / 2 ** 20:.0f} MiB in HBM")
             if cache._is_onehot and not expand_in_cache:
@@ -534,6 +549,8 @@ class SegmentationTrainer:
             logger.log(rec)
             deferred = None
 
+        phases["setup_s"] = round(time.time() - t_train_entry, 2)
+        t_loop_start = time.time()
         try:
             for _ in range(max_iterations):
                 timer.start()
@@ -664,6 +681,7 @@ class SegmentationTrainer:
                 scheduled_validation = [s for s in self.validation_evaluators
                                         if self.iteration % s.interval == 0]
                 if scheduled_validation:
+                    t_sweep = time.time()
                     validation_filter = self.get_filter_from_scheduled_evaluations(
                         context.dataset, scheduled_validation)
                     validation_dataset.set_cohort(validation_filter)
@@ -673,10 +691,13 @@ class SegmentationTrainer:
                     use_dev_confusion = False
                     if confusion_mgr is not None \
                             and confusion_mgr.state != "off":
-                        from .device_confusion import eligible_sweep
+                        from .device_confusion import sweep_spec
 
-                        use_dev_confusion = eligible_sweep(
+                        spec = sweep_spec(
                             scheduled_validation, self.validation_predictor)
+                        use_dev_confusion = spec is not None
+                        if use_dev_confusion:
+                            confusion_mgr.configure_sweep(spec)
                     probe_sweep = (use_dev_confusion
                                    and confusion_mgr.state == "probe")
                     validation_subjects = []
@@ -722,6 +743,8 @@ class SegmentationTrainer:
                             validation_evaluations[scheduled.log_name] = \
                                 scheduled.evaluator(filtered)
                             timer.stamp(f"evaluation.{scheduled.log_name}")
+                    phases.setdefault("first_sweep_s",
+                                      round(time.time() - t_sweep, 2))
 
                 if busy:
                     log_dict = {**loss_dict, **training_evaluations,
@@ -764,6 +787,8 @@ class SegmentationTrainer:
                         print("Training time expired.")
                     break
 
+                phases.setdefault("first_iteration_s",
+                                  round(time.time() - t_loop_start, 2))
                 self.iteration += 1
 
             flush_deferred()
