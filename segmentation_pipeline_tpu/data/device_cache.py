@@ -85,9 +85,12 @@ class DeviceDataCache:
             self._y = jnp.asarray(y_store)
             out_shardings = None
 
-        cache_X, cache_y = self._X, self._y
-
-        def gather(idx):
+        # the cache arrays are jit ARGUMENTS, not closure constants: a
+        # closed-over concrete array is inlined into the lowered module as a
+        # dense constant, so the compile payload would scale with the CACHE
+        # (hundreds of MB — oversized for any remote-compile transport and
+        # for the persistent compile cache), instead of with the program
+        def gather(cache_X, cache_y, idx):
             xb = jnp.take(cache_X, idx, axis=0)
             yb = jnp.take(cache_y, idx, axis=0)
             if is_onehot and expand_onehot:
@@ -108,7 +111,8 @@ class DeviceDataCache:
         bytes); expand after augmenting via ``jax.nn.one_hot``."""
         import jax.numpy as jnp
 
-        return self._gather(jnp.asarray(np.asarray(indices, np.int32)))
+        return self._gather(self._X, self._y,
+                            jnp.asarray(np.asarray(indices, np.int32)))
 
 
 class DevicePatchCache:
@@ -239,7 +243,10 @@ class DevicePatchCache:
         V = W * H * D
         n_bits = int(np.ceil(np.log2(max(V, 2))))
 
-        def sample(subj_idx, key):
+        # cache arrays are jit ARGUMENTS, not closure constants (see
+        # DeviceDataCache.gather: closures inline as dense HLO constants and
+        # the compile payload would scale with the cache + CDFs)
+        def sample(cache_X, cache_y, cache_cdf, subj_idx, key):
             """One lax.scan over the batch: per sample a 23-step binary
             search reading single CDF elements, then true dynamic_slice
             patch extraction on the stacked cache — no batched gather (XLA's
@@ -306,4 +313,4 @@ class DevicePatchCache:
         import jax.numpy as jnp
 
         idx = jnp.asarray(np.asarray(subject_indices, np.int32))
-        return self._sample(idx, key)
+        return self._sample(self._X, self._y, self._cdf, idx, key)
