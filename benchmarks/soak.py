@@ -150,6 +150,16 @@ def main():
             "iter_ms_drift_pct": round(drift * 100, 1),
             "iter_ms_percentiles": pct,
             "startup_overhead_s": overhead_s,
+            # line-item accounting (trainer.startup_phases; VERDICT r3 #5):
+            # pre-loop phases + first iteration (train-step compile /
+            # cache-deserialize, includes the iteration-0 sweep) + first
+            # sweep (predict compile + probe)
+            "startup_phases": dict(getattr(trainer, "startup_phases", {})),
+            # iterations whose wall gap dwarfs steady state (compile or
+            # sweep stalls; (iteration, seconds), capped at 20)
+            "stalls": [(int(i + 1), round(float(g), 1))
+                       for i, g in enumerate(np.diff(wall))
+                       if g * 1000 > max(2000.0, 5 * q2)][:20],
             "rss_mb_25pct": round(rss_25, 1),
             "rss_mb_end": round(rss_end, 1),
             "rss_growth_mb": round(rss_growth_mb, 1),
