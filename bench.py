@@ -52,7 +52,12 @@ def main():
     batch_cf = {"X": X, "y": y}
 
     state = create_train_state(model, optimizer, batch_cf)
-    step = make_train_step(model.module, criterion, optimizer)
+    # COMPUTE_DTYPE=bfloat16 runs the network fwd/bwd in bf16 (params/optim/
+    # BN stats/loss stay f32) — post-bias-dtype-fix this is ~+20% even at
+    # C=40 (PARITY.md "bfloat16 compute").  Default stays f32: exact
+    # reference numerics.
+    step = make_train_step(model.module, criterion, optimizer,
+                           compute_dtype=os.environ.get("COMPUTE_DTYPE") or None)
     device_batch = collate_to_device(batch_cf)
 
     # Honest timing through the axon tunnel: repeated identical dispatches

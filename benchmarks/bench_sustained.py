@@ -344,7 +344,12 @@ def build_qsm(root: Path):
                           subject_path="subjects", subject_loader=loader,
                           cohorts=cohorts, transforms=transforms)
     context.add_component("model", sp.NestedResUNet, input_channels=2,
-                          output_channels=10, filters=40, dropout_p=0.2)
+                          output_channels=10, filters=40, dropout_p=0.2,
+                          # whole-volume (120,144,96) batch-4 training holds
+                          # five full-res 40ch nodes alive in the backward
+                          # pass; without block remat the step needs 72.7G
+                          # HBM (measured OOM) vs the chip's 15.75G
+                          remat=os.environ.get("REMAT", "1") == "1")
     context.add_component("optimizer", sp.Adam, lr=2e-4)
     context.add_component("criterion", sp.HybridLogisticDiceLoss)
     context.add_component(

@@ -68,7 +68,7 @@ class Conv3d(nn.Module):
             bias = self.param(
                 "bias", lambda key, shape: jax.random.uniform(
                     key, shape, jnp.float32, -bound, bound), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -95,7 +95,7 @@ class WSConv3d(nn.Module):
         y = conv3d(x, kernel.astype(x.dtype), stride=self.stride, padding=self.padding)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -140,7 +140,7 @@ class BlurConv3d(nn.Module):
         y = conv3d(x, blurred, stride=self.stride, padding=self.padding)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -173,7 +173,7 @@ class BlurConvTranspose3d(nn.Module):
                              output_padding=self.output_padding)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
