@@ -54,9 +54,20 @@ VAL_SUBJECTS = ["Cb_Brain_058", "Cb_Brain_106"]
 
 
 def get_context(device=None, variables=None, crop=(68, 68, 72, 72, 16, 16),
-                filters=40, val_subjects=None, **kwargs):
+                filters=40, val_subjects=None, tpu_fast_path=False,
+                microbatch=None, compute_dtype=None, **kwargs):
     """crop/filters default to the reference config (qsm_deep_grey_matter.py:34,65);
-    override only for small-scale smoke tests."""
+    override only for small-scale smoke tests.
+
+    The reference trains whole volumes at batch 4 (ref
+    qsm_deep_grey_matter.py:64,137) — at the post-crop shape that backward
+    pass needs 19.8-72.7G HBM and does NOT fit a single 15.75G v5e chip
+    (PARITY.md "qsm sustained" row). Single-chip recipe: ``microbatch=2``
+    keeps the reference's effective batch via gradient accumulation
+    (accumulate_steps = 4 // microbatch), ``tpu_fast_path=True`` adds block
+    remat + device cache + auto device augmentation, and
+    ``compute_dtype="bfloat16"`` cuts activation memory and is ~+5% faster
+    here. A 2-chip data-parallel mesh recovers per-step batch 4 outright."""
     context = Context(device, name="qsm-dgm", variables=variables)
     context.file_paths.append(os.path.abspath(__file__))
     if val_subjects is None:
@@ -107,8 +118,12 @@ def get_context(device=None, variables=None, crop=(68, 68, 72, 72, 16, 16),
                           subject_path="subjects", subject_loader=subject_loader,
                           cohorts=cohorts, transforms=transforms)
     context.add_component("model", NestedResUNet, input_channels=2,
-                          output_channels=10, filters=filters, dropout_p=0.2)
-    context.add_component("optimizer", Adam, lr=0.0002)
+                          output_channels=10, filters=filters, dropout_p=0.2,
+                          remat=tpu_fast_path)
+    batch_size = 4 if microbatch is None else int(microbatch)
+    assert 4 % batch_size == 0, "microbatch must divide the reference batch 4"
+    context.add_component("optimizer", Adam, lr=0.0002,
+                          accumulate_steps=4 // batch_size)
     context.add_component("criterion", HybridLogisticDiceLoss)
 
     training_evaluators = [
@@ -134,7 +149,7 @@ def get_context(device=None, variables=None, crop=(68, 68, 72, 72, 16, 16),
         return float(seg_eval["mean", :, "dice"].mean())
 
     context.add_component("trainer", SegmentationTrainer,
-                          training_batch_size=4,
+                          training_batch_size=batch_size,
                           save_rate=250,
                           scoring_interval=50,
                           scoring_function=scoring_function,
@@ -147,6 +162,10 @@ def get_context(device=None, variables=None, crop=(68, 68, 72, 72, 16, 16),
                           train_dataloader_factory=StandardDataLoader(
                               sampler=RandomSampler),
                           validation_dataloader_factory=StandardDataLoader(
-                              sampler=SequentialSampler))
+                              sampler=SequentialSampler),
+                          device_cache=tpu_fast_path,
+                          device_augmentation=(
+                              "auto" if tpu_fast_path else None),
+                          compute_dtype=compute_dtype)
 
     return context

@@ -563,13 +563,21 @@ class SegmentationTrainer:
 
                 if train_step is None:
                     model.ensure_initialized(np.moveaxis(np.asarray(batch["X"]), -1, 1))
-                    opt_state = optimizer.init(model.params)
                     restored = getattr(self, "_restored_opt_state", None)
                     if restored is not None:
                         import jax.numpy as jnp
 
                         opt_state = jax.tree_util.tree_map(jnp.asarray, restored)
                         self._restored_opt_state = None
+                    elif self._train_state is not None:
+                        # re-entering train() in-process (the reference's
+                        # torch optimizer object persists across train()
+                        # calls, ref segmentation_trainer.py:33,162): keep
+                        # the live moments/accumulation counters instead of
+                        # silently resetting them
+                        opt_state = self._train_state.opt_state
+                    else:
+                        opt_state = optimizer.init(model.params)
                     self._train_state = TrainState(
                         step=np.int32(self.iteration), params=model.params,
                         batch_stats=model.batch_stats, opt_state=opt_state)

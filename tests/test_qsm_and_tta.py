@@ -62,6 +62,48 @@ class TestQsmConfig:
         assert len(metrics) == 2
         assert np.isfinite(metrics[-1]["loss"])
 
+    def test_single_chip_fit_recipe(self, qsm_root, tmp_path, capsys):
+        """The PARITY.md single-chip recipe: microbatch=2 + grad
+        accumulation, tpu_fast_path (remat + device cache + auto device
+        aug — a no-op derivation here, the qsm pipeline is deterministic)
+        and bfloat16 compute. Params must only move every accumulate_steps
+        micro-steps and must stay f32 master weights."""
+        import jax
+
+        from research.qsm_deep_grey_matter.qsm_deep_grey_matter import get_context
+
+        context = get_context(
+            variables={"DATASET_PATH": str(qsm_root)},
+            crop=(4, 4, 4, 4, 0, 0), filters=4,
+            val_subjects=["Cb_Brain_000"],
+            tpu_fast_path=True, microbatch=2, compute_dtype="bfloat16")
+        context.init_components()
+        assert context.trainer.training_batch_size == 2
+        assert context.model.module.remat is True
+
+        logger = FileLogger(str(tmp_path))
+        context.trainer.train(context, max_iterations=2, logger=logger)
+        p2 = jax.tree_util.tree_map(np.asarray, context.model.params)
+        # accumulate_steps=2 and the optimizer state persists across
+        # in-process train() re-entry: micro-step 3 only banks grads...
+        context.trainer.train(context, max_iterations=1, logger=logger,
+                              force_continue=True)
+        p3 = jax.tree_util.tree_map(np.asarray, context.model.params)
+        same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: np.array_equal(a, b), p2, p3))
+        assert same, "params moved on a banked accumulation micro-step"
+        # ...and micro-step 4 applies the averaged update
+        context.trainer.train(context, max_iterations=1, logger=logger,
+                              force_continue=True)
+        p4 = jax.tree_util.tree_map(np.asarray, context.model.params)
+        moved = not jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: np.array_equal(a, b), p3, p4))
+        assert moved, "params never moved across full accumulation windows"
+        assert all(l.dtype == np.float32
+                   for l in jax.tree_util.tree_leaves(context.model.params))
+        out = capsys.readouterr().out
+        assert "declares no stochastic transforms" in out
+
 
 class TestRunInferenceTTA:
     def test_orientation_tta(self, tmp_path):
