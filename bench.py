@@ -19,7 +19,21 @@ import os
 import time
 
 
+def _enable_compile_cache():
+    """Persist XLA executables under the repo so repeated bench runs skip
+    the 4-6 min first-shape compiles (the timed fori_loop chain excludes
+    compile either way; SP_COMPILATION_CACHE overrides the location)."""
+    from segmentation_pipeline_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    default = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".xla_cache")
+    enable_compilation_cache(os.environ.get("SP_COMPILATION_CACHE") or default)
+
+
 def main():
+    _enable_compile_cache()
     if os.environ.get("BENCH_CONFIG") == "msseg2":
         return msseg2_bench()
     import jax
@@ -52,12 +66,18 @@ def main():
     batch_cf = {"X": X, "y": y}
 
     state = create_train_state(model, optimizer, batch_cf)
-    # COMPUTE_DTYPE=bfloat16 runs the network fwd/bwd in bf16 (params/optim/
-    # BN stats/loss stay f32) — post-bias-dtype-fix this is ~+20% even at
-    # C=40 (PARITY.md "bfloat16 compute").  Default stays f32: exact
-    # reference numerics.
+    # Default compute dtype is bfloat16 (network fwd/bwd in bf16; params/
+    # optimizer/BN stats/loss stay f32 master state — the standard TPU
+    # mixed-precision mode, +23% at this shape post bias-dtype fix,
+    # PARITY.md "bfloat16 compute").  COMPUTE_DTYPE=float32 measures exact
+    # reference numerics.  The bf16 chain at 60 steps hits the known XLA
+    # pathological-compile anomaly (PARITY.md channel-sweep note), so bf16
+    # runs default to a 10-step chain.
+    compute_dtype = os.environ.get("COMPUTE_DTYPE", "bfloat16")
+    if compute_dtype in ("float32", "f32"):
+        compute_dtype = None
     step = make_train_step(model.module, criterion, optimizer,
-                           compute_dtype=os.environ.get("COMPUTE_DTYPE") or None)
+                           compute_dtype=compute_dtype)
     device_batch = collate_to_device(batch_cf)
 
     # Honest timing through the axon tunnel: repeated identical dispatches
@@ -68,7 +88,8 @@ def main():
     # equally valid (it just removes per-step dispatch overhead).
     from jax import lax
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "60"))
+    n_steps = int(os.environ.get("BENCH_STEPS",
+                                 "10" if compute_dtype is not None else "60"))
 
     import jax.numpy as jnp
 
@@ -116,6 +137,8 @@ def main():
         "value": round(volumes_per_sec, 3),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(volumes_per_sec / baseline, 1),
+        "compute_dtype": "float32" if compute_dtype is None else
+                         str(jnp.dtype(compute_dtype)),
     }))
 
 
@@ -152,9 +175,14 @@ def msseg2_bench():
     batch_cf = {"X": X, "y": y}
     state = create_train_state(model, optimizer, batch_cf)
     # COMPUTE_DTYPE=bfloat16 runs the network fwd/bwd in bf16 (params/optim/
-    # loss stay f32) — the C=80-120 msseg2 layers are where the channel-width
-    # sweep (PARITY.md) says bf16 starts paying, unlike the C=40 dmri model
+    # loss stay f32): +12.6% on the sustained msseg2 loop post bias-dtype
+    # fix (benchmarks/bench_sustained.py, the per-step-dispatch path).  The
+    # default here stays f32: the bf16 msseg2 fori_loop CHAIN trips the
+    # known XLA pathological-compile anomaly (>20 min remote compile,
+    # PARITY.md channel-sweep note) even at 10 steps.
     compute_dtype = os.environ.get("COMPUTE_DTYPE") or None
+    if compute_dtype in ("float32", "f32"):
+        compute_dtype = None
     step = make_train_step(model.module, criterion, optimizer,
                            compute_dtype=compute_dtype)
     batch = collate_to_device(batch_cf)
@@ -196,7 +224,8 @@ def msseg2_bench():
         "metric": ("msseg2 patch train throughput (batch %d, 96^3x2ch, "
                    "depth-6 BlurConv UNet, remat)" % pbatch),
         "value": round(pps, 3),
-        "compute_dtype": os.environ.get("COMPUTE_DTYPE") or "float32",
+        "compute_dtype": "float32" if compute_dtype is None else
+                         str(jnp.dtype(compute_dtype)),
         "unit": "patches/sec/chip",
         "vs_baseline": round(pps / baseline, 1) if baseline else None,
     }))
