@@ -215,7 +215,7 @@ def cbbrain_dice_score(evaluation_dict) -> float:
 
 def get_context(device=None, variables=None, fold=0, predict_hbt=False,
                 training_batch_size=4, crop_shape=(96, 88, 24), filters=40,
-                tpu_fast_path=False):
+                tpu_fast_path=False, compute_dtype=None):
     """crop_shape/filters default to the reference config
     (main_config.py:80,126); override only for small-scale smoke tests.
 
@@ -263,5 +263,10 @@ def get_context(device=None, variables=None, fold=0, predict_hbt=False,
                               sampler=SequentialSampler),
                           device_cache=tpu_fast_path,
                           device_augmentation=(
-                              "auto" if tpu_fast_path else None))
+                              "auto" if tpu_fast_path else None),
+                          # "bfloat16" runs the network fwd/bwd in bf16
+                          # (f32 master weights/loss): +19-20% sustained on
+                          # a v5e (PARITY.md "bfloat16"); None = exact
+                          # reference numerics
+                          compute_dtype=compute_dtype)
     return context

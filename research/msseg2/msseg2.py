@@ -134,7 +134,7 @@ def nan_aware_lesion_dice(evaluation_dict) -> float:
 
 def get_context(device=None, variables=None, fold=0, patch_size=96,
                 filters=(40, 40, 80, 80, 120, 120), tpu_fast_path=False,
-                **kwargs):
+                compute_dtype=None, **kwargs):
     """patch_size/filters default to the reference config (msseg2.py:17,87);
     override only for small-scale smoke tests.
 
@@ -224,5 +224,9 @@ def get_context(device=None, variables=None, fold=0, patch_size=96,
         validation_dataloader_factory=StandardDataLoader(
             sampler=SequentialSampler),
         device_cache=tpu_fast_path,
-        device_augmentation="auto" if tpu_fast_path else None)
+        device_augmentation="auto" if tpu_fast_path else None,
+        # "bfloat16" runs the network fwd/bwd in bf16 (f32 master weights/
+        # loss): +12.6% sustained at the C=80-120 widths (PARITY.md
+        # "bfloat16"); None = exact reference numerics
+        compute_dtype=compute_dtype)
     return context

@@ -24,11 +24,17 @@ def main():
                              "volumes live in HBM and the declared "
                              "augmentation pipeline (msseg2.py:44-57) runs "
                              "fused on device")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 network compute with f32 master "
+                             "weights: +12.6%% sustained throughput "
+                             "(PARITY.md); omit for exact reference "
+                             "numerics")
     args = parser.parse_args()
 
     dataset_path = prepare_dataset_files(args.dataset_path, args.work_path)
     context = get_context(variables={"DATASET_PATH": str(dataset_path)},
-                          fold=args.fold, tpu_fast_path=args.tpu_fast_path)
+                          fold=args.fold, tpu_fast_path=args.tpu_fast_path,
+                          compute_dtype=("bfloat16" if args.bf16 else None))
     context.init_components()
     context.trainer.train(
         context=context,

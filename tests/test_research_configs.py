@@ -226,6 +226,25 @@ class TestTpuFastPath:
         assert len(metrics) == 3
         assert all(np.isfinite(m["loss"]) for m in metrics)
 
+    def test_bf16_plumbs_through_configs_and_clis(self, hippo_root):
+        """--bf16 / compute_dtype reach the trainer from every research
+        config surface (the +19-20% lever, PARITY.md 'bfloat16')."""
+        context = main_config.get_context(
+            variables={"DATASET_PATH": str(hippo_root)}, fold=0,
+            crop_shape=CROP, filters=4, compute_dtype="bfloat16")
+        assert context.get_component_definition("trainer")["params"][
+            "compute_dtype"] == "bfloat16"
+        context2 = msseg2_config.get_context(
+            variables={"DATASET_PATH": "/nonexistent"}, fold=0,
+            patch_size=16, filters=(4, 4, 8), compute_dtype="bfloat16")
+        assert context2.get_component_definition("trainer")["params"][
+            "compute_dtype"] == "bfloat16"
+
+        from research.dmri_hippo import run as dmri_run
+
+        args = dmri_run.build_parser().parse_args(["main", "/d", "/l", "--bf16"])
+        assert args.bf16 is True
+
 
 class TestMsseg2Config:
     def test_context_builds_and_samples(self, tmp_path):
