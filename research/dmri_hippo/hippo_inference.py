@@ -82,14 +82,15 @@ def post_process_subjects(subjects, image_name):
 
 def main(ensemble_path, dataset_path, run_name, output_filename=None, out_folder="",
          ensemble_flips=False, ensemble_folds=False, cohort=None, num_workers=0,
-         batch_size=4, batched_tta=False, tta_mesh=False, ensemble_affines=0):
+         batch_size=4, batched_tta=False, tta_mesh=False, ensemble_affines=0,
+         bf16=False):
     input_args = dict(ensemble_path=str(ensemble_path), dataset_path=str(dataset_path),
                       run_name=run_name, output_filename=output_filename,
                       out_folder=str(out_folder), ensemble_flips=ensemble_flips,
                       ensemble_folds=ensemble_folds, cohort=str(cohort),
                       num_workers=num_workers, batch_size=batch_size,
                       batched_tta=batched_tta, tta_mesh=tta_mesh,
-                      ensemble_affines=ensemble_affines)
+                      ensemble_affines=ensemble_affines, bf16=bf16)
 
     # batched_tta folds the 2^k flips into one forward; tta_mesh additionally
     # shards that folded batch over all local devices (SPMD flip-TTA).
@@ -105,6 +106,10 @@ def main(ensemble_path, dataset_path, run_name, output_filename=None, out_folder
                           variables=dict(DATASET_PATH=str(dataset_path)))
         context.keep_components(("model", "trainer", "dataset"))
         context.init_components()
+        if bf16 and getattr(context.model, "compute_dtype", "absent") is None:
+            # bfloat16 forward (f32 params; predictors also upload bf16):
+            # +12-20% on v5e, PARITY.md "bfloat16"
+            context.model.compute_dtype = "bfloat16"
         if ensemble_flips:
             context.model = EnsembleFlips(context.model, strategy="majority",
                                           spatial_dims=(3, 4),
@@ -178,8 +183,11 @@ if __name__ == "__main__":
                         help="fold TTA members into one forward")
     parser.add_argument("--tta-mesh", action="store_true",
                         help="shard the folded TTA batch over local devices")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 forward (f32 weights): +12-20%% on "
+                             "v5e; omit for exact reference numerics")
     a = parser.parse_args()
     main(a.ensemble_path, a.dataset_path, a.run_name, a.output_filename,
          a.out_folder, a.ensemble_flips, a.ensemble_folds, a.cohort,
          a.num_workers, a.batch_size, a.batched_tta, a.tta_mesh,
-         a.ensemble_affines)
+         a.ensemble_affines, bf16=a.bf16)

@@ -36,9 +36,34 @@ class SegModel:
         # mixed-precision inference: run the network in this dtype (e.g.
         # 'bfloat16'); params stay float32, outputs are cast back to float32.
         # Stored as a string/None so SegModel configs pickle cleanly.
-        self.compute_dtype = compute_dtype
+        self._compute_dtype = compute_dtype
         self.variables: Optional[Dict[str, Any]] = None
         self._eval_fn = None
+
+    def __getstate__(self):
+        # jitted closures don't pickle; rebuild lazily after load
+        state = dict(self.__dict__)
+        state["_eval_fn"] = None
+        return state
+
+    def __setstate__(self, state):
+        # pickles from before compute_dtype became a property stored the
+        # value under the public name
+        if "compute_dtype" in state and "_compute_dtype" not in state:
+            state["_compute_dtype"] = state.pop("compute_dtype")
+        self.__dict__.update(state)
+
+    @property
+    def compute_dtype(self):
+        return self._compute_dtype
+
+    @compute_dtype.setter
+    def compute_dtype(self, value):
+        # invalidate the jitted eval fn so a dtype set AFTER first use
+        # (trainer propagation, inference --bf16) is never silently ignored
+        if value != getattr(self, "_compute_dtype", None):
+            self._eval_fn = None
+        self._compute_dtype = value
 
     # ---- init ----------------------------------------------------------
     def ensure_initialized(self, x_cf: jnp.ndarray):

@@ -330,6 +330,13 @@ class SegmentationTrainer:
 
         # Build the fused train step
         model = context.model
+        # validation sweeps run through the predictors, which honor
+        # model.compute_dtype — keep their numerics/speed consistent with
+        # the training step's mixed-precision mode (explicit model setting
+        # wins if the user already chose one)
+        if self.compute_dtype is not None \
+                and getattr(model, "compute_dtype", "absent") is None:
+            model.compute_dtype = self.compute_dtype
         criterion = context.criterion
         optimizer = context.optimizer
         sagittal_split = getattr(self.train_predictor, "sagittal_split", False)

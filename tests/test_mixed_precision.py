@@ -154,6 +154,29 @@ class TestTrainerMixedPrecision:
         context.trainer.train(context, max_iterations=6, logger=Capture())
         assert losses[-1] < losses[0]
         assert all(np.isfinite(losses))
+        # the trainer propagates its compute dtype onto the model so the
+        # predictor-driven validation sweeps run the same mixed precision
+        assert context.model.compute_dtype == "bfloat16"
+
+    def test_compute_dtype_change_rebuilds_eval_fn(self):
+        """Setting compute_dtype AFTER first use must not be silently
+        ignored (inference --bf16 sets it post-init)."""
+        x = _toy_batch()["X"]
+        m = SegModel(NestedResUNet(input_channels=2, output_channels=2,
+                                   filters=4), seed=7)
+        y32 = np.asarray(m(x))
+        assert m._eval_fn is not None
+        m.compute_dtype = "bfloat16"
+        assert m._eval_fn is None  # invalidated
+        y16 = np.asarray(m(x))
+        assert y16.dtype == np.float32
+        assert not np.array_equal(y16, y32)  # bf16 path actually ran
+        np.testing.assert_allclose(y16, y32, atol=2e-2)
+        # pickle round trip keeps the property-backed field
+        import pickle
+
+        m2 = pickle.loads(pickle.dumps(m))
+        assert m2.compute_dtype == "bfloat16"
 
 
 class TestSpatialShardedMixedPrecision:

@@ -139,7 +139,7 @@ class TestDmriHippoConfig:
             ensemble_path=logger.run_dir / "checkpoints",
             dataset_path=str(hippo_root), run_name="affinetta",
             out_folder=str(out), cohort="cbbrain_validation", batch_size=2,
-            ensemble_affines=3)
+            ensemble_affines=3, bf16=True)
         pred_files = list(out.glob("subjects/*/dmri-hippo.nii.gz"))
         assert len(pred_files) == 2
         data, _ = sp.read_nifti(pred_files[0])
