@@ -234,6 +234,19 @@ def build_msseg2(root: Path):
         ])
         transforms["training"] = sp.Compose([augmentation, model_io])
 
+    eval_interval = int(os.environ.get("EVAL_INTERVAL", "0"))
+    validation_evaluators = []
+    if eval_interval:
+        # the msseg2 offline metric (ref notebooks/ms-evaluation.ipynb,
+        # instance_segmentation_evaluator.py:75): lesion detection via the
+        # overlap histogram — the device path reduces it on chip and
+        # fetches (K+1)^2 counts instead of an ids volume
+        validation_evaluators = [sp.ScheduledEvaluation(
+            evaluator=sp.InstanceSegmentationEvaluator(
+                "y_pred_eval", "y_eval"),
+            log_name="instance_eval", cohorts=["validation"],
+            interval=eval_interval)]
+
     context = sp.Context(name="bench-msseg2",
                          variables={"DATASET_PATH": str(root)})
     context.add_component("dataset", sp.SubjectFolder, root="$DATASET_PATH",
@@ -257,7 +270,7 @@ def build_msseg2(root: Path):
         training_batch_size=int(os.environ.get("BATCH", "4")),
         save_rate=10 ** 9, scoring_interval=10 ** 9,
         scoring_function=lambda d: -d["loss"], one_time_evaluators=[],
-        training_evaluators=[], validation_evaluators=[],
+        training_evaluators=[], validation_evaluators=validation_evaluators,
         max_iterations_with_no_improvement=10 ** 9,
         train_predictor=sp.StandardPredict(image_names=["X", "y"]),
         validation_predictor=sp.PatchPredict(patch_size=(96, 96, 96),
