@@ -99,15 +99,10 @@ def _identity_coords(spatial: Tuple[int, int, int]) -> jnp.ndarray:
     return jnp.stack(grids)  # (3, W, H, D)
 
 
-def _as_range(value, center: float = 0.0) -> Tuple[float, float]:
-    """Scalar shorthand -> (lo, hi), mirroring the host transforms'
-    _as_range (transforms/random_spatial.py): scales=0.2 means U(0.8, 1.2),
-    degrees=45 means U(-45, 45)."""
-    if isinstance(value, (tuple, list)):
-        lo, hi = value
-        return float(lo), float(hi)
-    v = float(value)
-    return center - v, center + v
+# scalar shorthand -> (lo, hi): scales=0.2 means U(0.8, 1.2), degrees=45
+# means U(-45, 45).  The HOST transforms own this convention — one
+# definition keeps host/device parameter parity by construction.
+from ..transforms.random_spatial import _as_range
 
 
 # ---------------------------------------------------------------------------

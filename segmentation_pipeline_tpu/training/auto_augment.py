@@ -344,7 +344,44 @@ def derive_device_augmentation(
                  f"{' -> '.join(_STAGE_RANK)}")
         cursor = rank
 
+    # The fused device stages apply to the whole collated X (and warp y):
+    # a host include=/exclude= restriction is only faithful when it cannot
+    # change what reaches the device batch.  Trace which host images feed
+    # X/y (backward through the suffix's Concatenate/Rename/Copy — ref
+    # main_config.py:158-165 builds X AFTER the augmentation block) and
+    # refuse restrictions that touch those sources; restrictions on images
+    # the device batch never sees (the reference's exclude=['full_dwi'],
+    # ref main_config.py:86-100) derive fine.
+    sources = {"X", "y"}
+    for t in reversed(suffix):
+        names = getattr(t, "new_image_name", None)
+        if names in sources:
+            sources |= set(getattr(t, "image_names", []) or [])
+        if getattr(t, "new_name", None) in sources and \
+                getattr(t, "old_name", None):
+            sources.add(t.old_name)
+
+    def _walk(t):
+        yield t
+        for m in (getattr(t, "transforms", []) or []):
+            yield from _walk(m)
+
+    def _require_faithful_selection(t):
+        for m in _walk(t):
+            excluded = set(getattr(m, "exclude", None) or [])
+            _require(not (excluded & sources),
+                     f"{_name(m)} excludes {sorted(excluded & sources)} "
+                     f"which feed the device batch — the fused stage would "
+                     f"augment them anyway; keep this transform on host "
+                     f"(device_augmentation=None, device_cache=False)")
+            _require(getattr(m, "include", None) is None,
+                     f"{_name(m)} restricts its targets with include= — "
+                     f"the fused device pipeline applies each stage to the "
+                     f"whole collated batch; keep this transform on host "
+                     f"(device_augmentation=None, device_cache=False)")
+
     for t in window:
+        _require_faithful_selection(t)
         if isinstance(t, RandomPermuteDimensions):
             advance("permute", t)
             _map_permute(t, cfg)

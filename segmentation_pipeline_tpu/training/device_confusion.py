@@ -41,6 +41,7 @@ import numpy as np
 
 from ..core.subject import LabelMap, Subject
 from ..evaluators.instance_segmentation_evaluator import (
+    DEVICE_INSTANCE_KEY,
     InstanceSegmentationEvaluator,
     connected_components,
     overlap_histogram,
@@ -64,7 +65,8 @@ CONFUSION_KEY = "_device_confusion"
 #: per-subject device instance-overlap entries the
 #: InstanceSegmentationEvaluator fast path reads from:
 #: {(pred_name, target_name, connectivity): {"hist", "n_target", "n_pred"}}
-INSTANCE_KEY = "_device_instance"
+#: (the evaluator owns the key; one definition, shared)
+INSTANCE_KEY = DEVICE_INSTANCE_KEY
 
 _EVAL_NAMES = ("y_pred_eval", "y_eval")
 _COUNT_STATS = ("TP", "FP", "TN", "FN")
@@ -134,17 +136,38 @@ class DeviceConfusionManager:
         self._needs_confusion = True
         self._instance_conn: Optional[int] = None
         self._probe_inst: Dict = {}
+        # reduction kinds the probe has PROVEN so far ("confusion" /
+        # ("instance", connectivity)); a sweep needing an unproven kind
+        # re-enters probe state instead of running it unvalidated
+        self._validated: set = set()
         # component-budget overflows are data-dependent (a noisy early-
         # training prediction can splinter into thousands of specks) and
         # transient — they defer the probe instead of failing it, up to a cap
         self._overflow_probes = 0
 
     def configure_sweep(self, spec: Optional[dict]) -> None:
-        """Install the sweep_spec for the upcoming sweep (trainer side)."""
+        """Install the sweep_spec for the upcoming sweep (trainer side).
+
+        A sweep whose evaluators need a reduction kind the probe never
+        validated (e.g. an InstanceSegmentationEvaluator on a longer
+        interval than the SegmentationEvaluator that drove the first
+        probe) DEMOTES "on" back to "probe": that sweep runs both paths
+        and validate_probe() must prove the new kind before any sweep
+        skips fetches for it."""
         if spec is None:
             return
         self._needs_confusion = bool(spec.get("confusion"))
         self._instance_conn = spec.get("instance_connectivity")
+        if self.state == "on" and not self._needed_kinds() <= self._validated:
+            self.state = "probe"
+
+    def _needed_kinds(self) -> set:
+        kinds = set()
+        if self._needs_confusion:
+            kinds.add("confusion")
+        if self._instance_conn is not None:
+            kinds.add(("instance", self._instance_conn))
+        return kinds
 
     # ------------------------------------------------------------------
     # plan interface used by predictors
@@ -436,6 +459,7 @@ class DeviceConfusionManager:
         self._probe_stats.clear()
         self._probe_inst.clear()
         self.state = "on"
+        self._validated |= self._needed_kinds()
         kinds = [k for k, on in (("confusion", self._needs_confusion),
                                  ("instance", self._instance_conn is not None))
                  if on]

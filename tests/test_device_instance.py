@@ -357,3 +357,35 @@ class TestTrainerDeviceInstance:
         # conflicting connectivities: one CC pass can't serve both
         assert sweep_spec([inst, inst_c3], argmax_pred) is None
         assert not eligible_sweep([inst], sp.StandardPredict(image_names=["X"]))
+
+    def test_unvalidated_kind_demotes_to_probe(self):
+        """A sweep needing a reduction the probe never proved (reachable on
+        resume: intervals 250/500 resumed at iteration 750 probe-validate
+        confusion only; the iteration-1000 sweep adds instance) must re-enter
+        probe state rather than run the new reduction with skip_fetch."""
+        from segmentation_pipeline_tpu.training.device_confusion import (
+            DeviceConfusionManager,
+        )
+
+        mgr = DeviceConfusionManager()
+        # probe sweep validated confusion only
+        mgr._needs_confusion, mgr._instance_conn = True, None
+        mgr._validated = {"confusion"}
+        mgr.state = "on"
+
+        # confusion-only sweeps stay validated
+        mgr.configure_sweep({"confusion": True, "instance_connectivity": None})
+        assert mgr.state == "on" and mgr.skip_fetch
+
+        # a sweep adding the instance reduction demotes to probe
+        mgr.configure_sweep({"confusion": True, "instance_connectivity": 2})
+        assert mgr.state == "probe" and not mgr.skip_fetch
+
+        # after that probe validates, the union is remembered
+        mgr._validated |= mgr._needed_kinds()
+        mgr.state = "on"
+        mgr.configure_sweep({"confusion": False, "instance_connectivity": 2})
+        assert mgr.state == "on"
+        # a DIFFERENT connectivity is a different (unproven) reduction
+        mgr.configure_sweep({"confusion": False, "instance_connectivity": 1})
+        assert mgr.state == "probe"
