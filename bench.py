@@ -110,11 +110,18 @@ def main():
         return jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), state)
 
     float(chain_jit(0, fresh()))  # compile + warm
-    t0 = time.time()
-    float(chain_jit(1, fresh()))  # forced fetch serializes the whole chain
-    dt = time.time() - t0
-
-    volumes_per_sec = n_steps * batch / dt / (2.0 if split else 1.0)
+    # Provenance discipline (VERDICT r4 #6): N>=3 timed repeats in ONE
+    # process, headline = median.  Distinct seeds defeat the tunnel's
+    # dispatch memoization; each forced fetch serializes its whole chain.
+    n_repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+    rates = []
+    for rep in range(n_repeats):
+        t0 = time.time()
+        float(chain_jit(1 + rep, fresh()))
+        dt = time.time() - t0
+        rates.append(n_steps * batch / dt / (2.0 if split else 1.0))
+    rates.sort()
+    volumes_per_sec = rates[len(rates) // 2]
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
@@ -139,6 +146,14 @@ def main():
         "vs_baseline": round(volumes_per_sec / baseline, 1),
         "compute_dtype": "float32" if compute_dtype is None else
                          str(jnp.dtype(compute_dtype)),
+        # auditability (ADVICE r4): bf16 defaults to a 10-step chain (the
+        # 60-step bf16 chain trips the XLA pathological-compile anomaly)
+        # while f32 uses 60; vs_baseline divides by the f32 torch baseline
+        # either way — n_steps/repeats make the asymmetry visible.
+        "n_steps": n_steps,
+        "n_repeats": n_repeats,
+        "repeat_range": [round(rates[0], 3), round(rates[-1], 3)],
+        "aggregate": "median",
     }))
 
 
@@ -211,10 +226,15 @@ def msseg2_bench():
         return jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), state)
 
     float(chain_jit(0, fresh()))
-    t0 = time.time()
-    float(chain_jit(1, fresh()))
-    dt = time.time() - t0
-    pps = n_steps * pbatch / dt
+    n_repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+    rates = []
+    for rep in range(n_repeats):
+        t0 = time.time()
+        float(chain_jit(1 + rep, fresh()))
+        dt = time.time() - t0
+        rates.append(n_steps * pbatch / dt)
+    rates.sort()
+    pps = rates[len(rates) // 2]
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
@@ -228,6 +248,10 @@ def msseg2_bench():
                          str(jnp.dtype(compute_dtype)),
         "unit": "patches/sec/chip",
         "vs_baseline": round(pps / baseline, 1) if baseline else None,
+        "n_steps": n_steps,
+        "n_repeats": n_repeats,
+        "repeat_range": [round(rates[0], 3), round(rates[-1], 3)],
+        "aggregate": "median",
     }))
 
 

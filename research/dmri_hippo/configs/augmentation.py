@@ -13,6 +13,7 @@ import os
 
 from segmentation_pipeline_tpu import (
     Compose,
+    ImageLoader,
     OneOf,
     RandomBiasField,
     RandomBlur,
@@ -22,6 +23,8 @@ from segmentation_pipeline_tpu import (
     RandomNoise,
     ReconstructMeanDWI,
     RescaleIntensity,
+    ScalarImage,
+    TensorLoader,
 )
 
 from . import main_config as base_config
@@ -64,6 +67,19 @@ def get_context(device=None, variables=None, augmentation_mode="standard", **kwa
     # index 1 is the slot this ablation swaps
     dataset_defn = context.get_component_definition("dataset")
     training_pipeline = dataset_defn["params"]["transforms"]["training"]
+
+    if augmentation_mode in ("dwi_reconstruction", "combined"):
+        # the dwi modes need the full 4-D DWI series + gradient table on the
+        # subjects (the reference keeps these loaders commented out of the
+        # base config because the series is large, ref main_config.py:35-36
+        # — the ablation is exactly the experiment that enables them)
+        loaders = dataset_defn["params"]["subject_loader"].loaders
+        loaders.insert(0, ImageLoader(glob_pattern="full_dwi.*",
+                                      image_name="full_dwi",
+                                      image_constructor=ScalarImage))
+        loaders.insert(1, TensorLoader(glob_pattern="full_dwi_grad.b",
+                                       tensor_name="grad",
+                                       belongs_to="full_dwi"))
 
     if augmentation_mode == "no_augmentation":
         training_pipeline.transforms.pop(1)

@@ -174,7 +174,12 @@ class TensorLoader(SubjectLoader):
         for matching_file in matching_files:
             data = self.load_file(matching_file)
             if self.belongs_to is not None:
-                subject_data[self.belongs_to].update(data)
+                # the owner may be an Image (gradient table attached to the
+                # DWI series, ref main_config.py:36) whose metadata is set
+                # item-by-item, or a plain subject-data dict
+                target = subject_data[self.belongs_to]
+                for key, value in data.items():
+                    target[key] = value
             else:
                 subject_data.update(data)
 

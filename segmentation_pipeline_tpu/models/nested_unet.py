@@ -42,6 +42,10 @@ class NestedResUNet(nn.Module):
     bn_axis_name: Any = None
     """Mesh axis name(s) for cross-shard BatchNorm statistics when training
     inside shard_map (see training/train_step.py make_spatial_train_step)."""
+    use_norm: bool = True
+    """Disable BatchNorm in every block (numerics experiments: gradient
+    accumulation is exactly batch-equivalent only without batch statistics,
+    tests/test_parallel.py TestQsmMeshRecipe)."""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -51,7 +55,8 @@ class NestedResUNet(nn.Module):
         block = lambda residual, name: block_cls(  # noqa: E731
             features=f, residual=residual, dropout_p=self.dropout_p,
             shard_axis_name=self.spatial_shard_axis,
-            bn_axis_name=self.bn_axis_name, name=name)
+            bn_axis_name=self.bn_axis_name, use_norm=self.use_norm,
+            name=name)
         down = lambda t: avg_pool3d(t, 2, 2)  # noqa: E731
         if self.spatial_shard_axis is not None:
             up = lambda t: upsample_trilinear2x_sharded(  # noqa: E731

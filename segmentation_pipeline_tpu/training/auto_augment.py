@@ -352,8 +352,21 @@ def derive_device_augmentation(
     # refuse restrictions that touch those sources; restrictions on images
     # the device batch never sees (the reference's exclude=['full_dwi'],
     # ref main_config.py:86-100) derive fine.
+    # _flatten keeps deterministic Compose blocks whole (both reference
+    # configs wrap the model-io Concatenate/Rename in exactly such a
+    # Compose, ref main_config.py:158-165 / msseg2.py:59-66), so the trace
+    # must recurse into them — a top-level-only scan would miss the
+    # Concatenate that builds X and leave the guard vacuous.
+    def _reversed_leaves(ts):
+        for t in reversed(ts):
+            sub = getattr(t, "transforms", None)
+            if isinstance(t, Compose) and sub is not None:
+                yield from _reversed_leaves(sub)
+            else:
+                yield t
+
     sources = {"X", "y"}
-    for t in reversed(suffix):
+    for t in _reversed_leaves(suffix):
         names = getattr(t, "new_image_name", None)
         if names in sources:
             sources |= set(getattr(t, "image_names", []) or [])
@@ -451,7 +464,13 @@ def derive_device_augmentation(
                 f"{_name(t)} has no fused device-augmentation counterpart — "
                 f"move it out of the stochastic block (deterministic "
                 f"transforms) or augment on host "
-                f"(device_augmentation=None, device_cache=False)")
+                f"(device_augmentation=None, device_cache=False). "
+                f"Host-only channel resynthesis (ReconstructMeanDWI-style) "
+                f"at the START of the stochastic window is supported by the "
+                f"hybrid fast path: the trainer derives it automatically "
+                f"(derive_hybrid_augmentation) — the regenerated channel is "
+                f"re-uploaded per batch while the static channels stay "
+                f"device-cached.")
 
     _check_suffix(suffix)
     final = _last_rescale(suffix)
@@ -461,6 +480,177 @@ def derive_device_augmentation(
 
     host = Compose(prefix + suffix)
     return host, cfg
+
+
+# ---------------------------------------------------------------------------
+# Hybrid derivation: host-only channel resynthesis + fused device stages
+# ---------------------------------------------------------------------------
+
+def _hybrid_outputs(t) -> Optional[List[str]]:
+    """Image names a host-only stochastic transform (re)generates, or None
+    when the transform has no hybrid contract.  ReconstructMeanDWI and
+    ReconstructMeanDWIClassic (ref transforms/reconstruct_mean_dwi.py:11-172)
+    declare theirs via ``mean_dwi_image_name``."""
+    name = getattr(t, "mean_dwi_image_name", None)
+    if name is not None and isinstance(t, RandomTransform):
+        return [name]
+    return None
+
+
+class HybridSpec:
+    """Per-batch host stage of a hybrid augmentation derivation.
+
+    ``peeled``: the host-only stochastic transforms (applied to a scratch
+    shallow copy of the pretransformed subject each batch).  ``finishers``:
+    the deterministic suffix data steps re-applied to the regenerated images
+    only (restricted clones — the cache already applied them to the static
+    channels at pretransform).  ``slots``: {image_name: (channel_offset,
+    n_channels)} inside the collated X.  ``image_order``: affected image
+    names in concatenation order.  ``host_inline``: the reordered host
+    pipeline for the no-device-cache deployment (prefix + peeled + suffix;
+    the stochastic window still runs on device)."""
+
+    def __init__(self, peeled, finishers, slots, image_order, host_inline):
+        self.peeled = peeled
+        self.finishers = finishers
+        self.slots = slots
+        self.image_order = image_order
+        self.host_inline = host_inline
+
+    @property
+    def n_channels(self) -> int:
+        return sum(n for _, n in self.slots.values())
+
+    def __repr__(self):
+        names = [type(t).__name__ for t in self.peeled]
+        return (f"HybridSpec(peeled={names}, images={self.image_order}, "
+                f"channels={self.n_channels})")
+
+
+def derive_hybrid_augmentation(
+    transform: Optional[Transform],
+    spacing: Optional[Tuple[float, float, float]] = None,
+) -> Tuple[Optional[Transform], Optional[Dict], Optional[HybridSpec]]:
+    """:func:`derive_device_augmentation` extended with the hybrid fast path
+    for the augmentation-ablation experiment (ref configs/augmentation.py:41-50):
+    host-only stochastic channel-resynthesis transforms at the START of the
+    stochastic window (ReconstructMeanDWI) are peeled into a per-batch host
+    stage instead of refusing the whole pipeline.  The device cache then
+    holds the static channels; each batch the host regenerates only the
+    affected images, re-applies the suffix intensity steps to them, and the
+    trainer uploads + splices that channel block into the gathered cached X
+    before the derived fused device stages run
+    (training/hybrid_augment.py).
+
+    Returns ``(host_pipeline, device_config, hybrid_spec)``; ``hybrid_spec``
+    is None when the plain derivation suffices.  The suffix RescaleIntensity
+    the finishers re-apply maps by per-image percentiles (an affine map), so
+    regenerating from the pretransformed full_dwi is exactly equivalent to
+    the declared order (mean and percentile-rescale commute with affine
+    intensity maps)."""
+    if transform is None or not contains_random(transform):
+        return transform, None, None
+
+    items = _flatten([transform])
+    rand_flags = [contains_random(t) for t in items]
+    i0 = rand_flags.index(True)
+    i1 = len(items) - 1 - rand_flags[::-1].index(True)
+    prefix, window, suffix = items[:i0], list(items[i0:i1 + 1]), items[i1 + 1:]
+
+    peeled = []
+    while window and _hybrid_outputs(window[0]) is not None:
+        peeled.append(window.pop(0))
+    if not peeled:
+        host, cfg = derive_device_augmentation(transform, spacing)
+        return host, cfg, None
+    if window and not contains_random(window[0]):
+        raise AugmentationDerivationError(
+            f"hybrid split: deterministic {_name(window[0])} between the "
+            f"peeled host stage and the device window would apply at "
+            f"pretransform time, BEFORE the per-batch resynthesis — "
+            f"reorder it before {_name(peeled[0])} or into the suffix")
+    for t in window:
+        _require(_hybrid_outputs(t) is None,
+                 f"{_name(t)} resynthesizes a channel mid-window; the hybrid "
+                 f"host stage only supports resynthesis at the window start "
+                 f"(device stages in between cannot run on host)")
+
+    rebuilt = Compose(prefix + window + suffix)
+    host, cfg = derive_device_augmentation(rebuilt, spacing)
+    if cfg is None:
+        # window emptied: the whole stochastic content was peeled (the
+        # reference's dwi_reconstruction ablation mode) — the cacheable
+        # host pipeline is the deterministic remainder
+        host = Compose(prefix + suffix)
+
+    affected: List[str] = []
+    for t in peeled:
+        for n in _hybrid_outputs(t):
+            if n not in affected:
+                affected.append(n)
+
+    def _leaves(ts):
+        for t in ts:
+            sub = getattr(t, "transforms", None)
+            if isinstance(t, Compose) and sub is not None:
+                yield from _leaves(sub)
+            else:
+                yield t
+
+    suffix_leaves = list(_leaves(suffix))
+    concat = next((t for t in suffix_leaves
+                   if isinstance(t, ConcatenateImages)
+                   and t.new_image_name == "X"), None)
+    _require(concat is not None,
+             f"hybrid fast path: the deterministic suffix declares no "
+             f"ConcatenateImages building 'X', so the channel slots of "
+             f"{affected} in the device batch cannot be located")
+    _require(set(affected) <= set(concat.image_names),
+             f"hybrid fast path: {sorted(set(affected) - set(concat.image_names))} "
+             f"regenerated by {_name(peeled[0])} never feed the collated X "
+             f"({list(concat.image_names)}) — the per-batch resynthesis "
+             f"would be dead work; keep this transform on host")
+
+    y_sources = {"y"}
+    for t in reversed(suffix_leaves):
+        if getattr(t, "new_image_name", None) in y_sources:
+            y_sources |= set(getattr(t, "image_names", []) or [])
+        if getattr(t, "new_name", None) in y_sources and \
+                getattr(t, "old_name", None):
+            y_sources.add(t.old_name)
+    _require(not (set(affected) & y_sources),
+             f"hybrid fast path: {sorted(set(affected) & y_sources)} feed "
+             f"the label y — labels live in the device cache and cannot be "
+             f"regenerated per batch")
+
+    slots: Dict[str, Tuple[int, int]] = {}
+    off = 0
+    for name, ch in zip(concat.image_names, concat.image_channels):
+        if name in affected:
+            slots[name] = (off, int(ch))
+        off += int(ch)
+
+    import copy as _copy
+
+    finishers: List[Transform] = []
+    for t in suffix_leaves:
+        if t is concat:
+            break
+        if isinstance(t, (RescaleIntensity, ReplaceNan, SetDataType)):
+            inc = set(affected) if t.include is None \
+                else set(affected) & set(t.include)
+            inc -= set(t.exclude or [])
+            if inc:
+                t2 = _copy.copy(t)
+                t2.include = sorted(inc)
+                t2.exclude = None
+                finishers.append(t2)
+
+    spec = HybridSpec(
+        peeled=peeled, finishers=finishers, slots=slots,
+        image_order=[n for n in concat.image_names if n in affected],
+        host_inline=Compose(prefix + peeled + suffix))
+    return host, cfg, spec
 
 
 def describe_config(cfg: Dict) -> str:

@@ -96,7 +96,10 @@ def make_train_step(module, criterion, optimizer, mesh: Optional[Mesh] = None,
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params}
-        mutable = []
+        # False, not []: flax returns an (out, vars) tuple for ANY list —
+        # including an empty one — and a bare output only for mutable=False
+        # (norm-free models have no batch_stats at all)
+        mutable = False
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
@@ -210,7 +213,10 @@ def make_spatial_train_step(module, criterion, optimizer, mesh: Mesh,
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params}
-        mutable = []
+        # False, not []: flax returns an (out, vars) tuple for ANY list —
+        # including an empty one — and a bare output only for mutable=False
+        # (norm-free models have no batch_stats at all)
+        mutable = False
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]

@@ -216,27 +216,53 @@ class SegmentationTrainer:
         # from the cohort's declared pipeline and swap the dataset onto the
         # deterministic remainder (prefix preprocessing + model-io suffix).
         device_aug = self.device_augmentation
-        if device_aug == "auto":
-            from .auto_augment import derive_device_augmentation, describe_config
+        hybrid_spec = None
+        if device_aug == "auto" \
+                and training_dataset.transform is getattr(
+                    self, "_auto_aug_host_transform", object()):
+            # in-process train() re-entry: the dataset already carries the
+            # deterministic remainder from the first resolution — re-deriving
+            # from it would find no randomness and silently disable the
+            # device augmentation the declared pipeline asked for
+            device_aug = self.resolved_device_augmentation
+            hybrid_spec = getattr(self, "_resolved_hybrid_spec", None)
+        elif device_aug == "auto":
+            from .auto_augment import derive_hybrid_augmentation, describe_config
 
             declared = training_dataset.transform
-            host_t, aug_cfg = derive_device_augmentation(declared)
-            if aug_cfg is None:
+            host_t, aug_cfg, hybrid_spec = derive_hybrid_augmentation(declared)
+            if aug_cfg is None and hybrid_spec is None:
                 print("device_augmentation='auto': the training pipeline "
                       "declares no stochastic transforms; device "
                       "augmentation disabled.")
                 device_aug = None
             else:
+                if hybrid_spec is not None and not self.device_cache:
+                    # no cached batch to splice into: run the peeled host
+                    # stage inline (prefix + peeled + suffix), keep the
+                    # derived window on device as usual
+                    host_t = hybrid_spec.host_inline
+                    hybrid_spec = None
                 training_dataset.set_transform(host_t)
+                self._auto_aug_host_transform = host_t
                 # mm-parameterized augs (blur/elastic) need the spacing AT
                 # the augmentation point: probe one transformed sample
-                if aug_cfg.get("blur_p", 0) or aug_cfg.get("elastic_p", 0) \
-                        or aug_cfg.get("spatial_mode") == "oneof":
+                if aug_cfg is not None and (
+                        aug_cfg.get("blur_p", 0) or aug_cfg.get("elastic_p", 0)
+                        or aug_cfg.get("spatial_mode") == "oneof"):
                     probe = training_dataset[0]
                     spacing = tuple(float(s) for s in probe["X"].spacing)
-                    _, aug_cfg = derive_device_augmentation(declared, spacing)
+                    _, aug_cfg, _ = derive_hybrid_augmentation(declared,
+                                                               spacing)
                 device_aug = aug_cfg
-                print(f"device_augmentation='auto': {describe_config(aug_cfg)}")
+                msg = (describe_config(aug_cfg) if aug_cfg is not None
+                       else "(all device stages off)")
+                if hybrid_spec is not None:
+                    msg += f" + per-batch host stage {hybrid_spec}"
+                print(f"device_augmentation='auto': {msg}")
+        # expose the resolved config (None / dict) for tests and dryruns
+        self.resolved_device_augmentation = device_aug
+        self._resolved_hybrid_spec = hybrid_spec
 
         # Frozen-augmentation guard: device_cache pretransforms the training
         # set ONCE into HBM; a still-stochastic host pipeline would bake a
@@ -327,6 +353,8 @@ class SegmentationTrainer:
             from .device_confusion import DeviceConfusionManager
 
             confusion_mgr = DeviceConfusionManager(label_attributes)
+        # exposed for tests/dryruns to assert the probe outcome
+        self._confusion_mgr = confusion_mgr
 
         # Build the fused train step
         model = context.model
@@ -393,6 +421,7 @@ class SegmentationTrainer:
         # leaves the steady-state loop entirely.
         cache = None
         index_iterator = None
+        hybrid_rt = None
         if self.device_cache:
             if self.spatial_axis is not None:
                 raise ValueError(
@@ -427,6 +456,16 @@ class SegmentationTrainer:
                 cache = DeviceDataCache(training_dataset.subjects,
                                         x_dtype=x_np_dtype, mesh=self.mesh,
                                         expand_onehot=expand_in_cache)
+                if hybrid_spec is not None:
+                    from .hybrid_augment import HybridHostAugment
+
+                    hybrid_rt = HybridHostAugment(
+                        training_dataset.subjects, hybrid_spec,
+                        x_dtype=x_np_dtype, mesh=self.mesh)
+                    print(f"hybrid device cache: static channels cached, "
+                          f"{hybrid_spec.n_channels} channel(s) "
+                          f"({', '.join(hybrid_spec.image_order)}) "
+                          f"regenerated on host per batch")
                 sampler_cls = self.train_dataloader_factory.sampler or RandomSampler
 
                 def infinite_indices():
@@ -446,6 +485,13 @@ class SegmentationTrainer:
                         for j in range(0, n_full, self.training_batch_size):
                             yield order[j:j + self.training_batch_size]
             else:
+                if hybrid_spec is not None:
+                    raise ValueError(
+                        "hybrid device augmentation (host channel "
+                        "resynthesis) is not supported with PatchDataLoader "
+                        "— patches are sliced on device so the regenerated "
+                        "channel has no whole-volume slot to splice into; "
+                        "use StandardDataLoader or device_cache=False")
                 # patch training: volumes + center CDFs cached on device,
                 # centers drawn and patches sliced there; the host feeds
                 # only the queue-balanced subject-id stream
@@ -511,7 +557,14 @@ class SegmentationTrainer:
                     return [_copy.deepcopy(training_dataset.subjects[i])
                             for i in _idx]
 
-                return subjects_thunk, dict(cache.gather(idx))
+                batch = dict(cache.gather(idx))
+                if hybrid_rt is not None:
+                    # regenerate the stochastic channels on host and splice
+                    # them into the gathered cached X (this runs inside the
+                    # prefetch slot, so the host work and the upload of the
+                    # small channel block hide under the device step)
+                    batch["X"] = hybrid_rt.apply(batch["X"], idx)
+                return subjects_thunk, batch
             subjects = next(training_iterator)
             X = np.stack([np.asarray(s["X"].data) for s in subjects]).astype(np.float32)
             y = np.stack([np.asarray(s["y"].data) for s in subjects]).astype(np.float32)
@@ -581,8 +634,26 @@ class SegmentationTrainer:
                         # torch optimizer object persists across train()
                         # calls, ref segmentation_trainer.py:33,162): keep
                         # the live moments/accumulation counters instead of
-                        # silently resetting them
+                        # silently resetting them — but only when the state
+                        # still matches the current optimizer/params (a
+                        # swapped optimizer component or re-initialized
+                        # model would otherwise fail opaquely inside the
+                        # jitted step, or silently carry stale moments)
                         opt_state = self._train_state.opt_state
+                        fresh = optimizer.init(model.params)
+                        same = (jax.tree_util.tree_structure(opt_state)
+                                == jax.tree_util.tree_structure(fresh))
+                        if same:
+                            shapes = jax.tree_util.tree_map(
+                                lambda a: np.shape(a), opt_state)
+                            fresh_shapes = jax.tree_util.tree_map(
+                                lambda a: np.shape(a), fresh)
+                            same = shapes == fresh_shapes
+                        if not same:
+                            print("trainer: optimizer/param structure "
+                                  "changed since the previous train() call "
+                                  "— reinitializing optimizer state")
+                            opt_state = fresh
                     else:
                         opt_state = optimizer.init(model.params)
                     self._train_state = TrainState(

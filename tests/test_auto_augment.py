@@ -120,6 +120,55 @@ class TestDerivation:
         with pytest.raises(AugmentationDerivationError, match="CropOrPad"):
             derive_device_augmentation(t)
 
+    def test_exclude_of_batch_source_refused_through_nested_suffix(self):
+        """ADVICE r4 (medium): the model-io Concatenate that builds X is
+        wrapped in a deterministic Compose in both reference configs (ref
+        main_config.py:158-165) — the source trace must recurse into it so
+        a window restriction on an image feeding X is still refused."""
+        t = sp.Compose([
+            sp.RandomNoise(std=0.1, p=0.5, exclude=["a"]),
+            sp.Compose([  # deterministic model-io block kept whole
+                sp.ConcatenateImages(image_names=["a", "b"],
+                                     image_channels=[1, 1],
+                                     new_image_name="X"),
+                sp.RenameProperty(old_name="seg", new_name="y"),
+            ]),
+        ])
+        with pytest.raises(AugmentationDerivationError,
+                           match="excludes \\['a'\\]"):
+            derive_device_augmentation(t)
+
+    def test_exclude_of_unbatched_image_derives_through_nested_suffix(self):
+        """Restrictions on images the device batch never sees (the
+        reference's exclude=['full_dwi'], ref main_config.py:86-100) must
+        still derive when the suffix is Compose-nested."""
+        t = sp.Compose([
+            sp.RandomNoise(std=0.1, p=0.5, exclude=["full_dwi"]),
+            sp.Compose([
+                sp.ConcatenateImages(image_names=["a", "b"],
+                                     image_channels=[1, 1],
+                                     new_image_name="X"),
+                sp.RenameProperty(old_name="seg", new_name="y"),
+            ]),
+        ])
+        _, cfg = derive_device_augmentation(t)
+        assert cfg is not None and cfg["noise_p"] == 0.5
+
+    def test_rename_chain_through_nested_suffix_traced(self):
+        """A nested Rename feeding y must pull its old_name into the
+        traced sources."""
+        t = sp.Compose([
+            sp.RandomFlip(axes=(0, 1, 2), exclude=["seg"]),
+            sp.Compose([
+                sp.ConcatenateImages(image_names=["t1"], image_channels=[1],
+                                     new_image_name="X"),
+                sp.RenameProperty(old_name="seg", new_name="y"),
+            ]),
+        ])
+        with pytest.raises(AugmentationDerivationError,
+                           match="excludes \\['seg'\\]"):
+            derive_device_augmentation(t)
+
     def test_noise_then_blur_order(self):
         t = sp.Compose([sp.RandomNoise(std=0.1, p=0.5),
                         sp.RandomBlur((0, 1), p=0.5)])

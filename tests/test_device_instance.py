@@ -298,6 +298,10 @@ class TestTrainerDeviceInstance:
         subjects = [dataset[i] for i in range(len(dataset))]
         mgr = DeviceConfusionManager({"label_values": {"lesion": 1}})
         mgr.state = "on"
+        # the state machine demotes "on" back to "probe" for any reduction
+        # kind the probe never validated (device_confusion.py guard) — mark
+        # the instance kind validated the way a completed probe would
+        mgr._validated = {("instance", 2)}
         mgr.configure_sweep({"confusion": False, "instance_connectivity": 2})
         predictor = sp.StandardPredict(image_names=["X"], device_argmax=True)
         predictor._confusion_plan = mgr

@@ -579,3 +579,134 @@ class TestTrainerDataParallelEndToEnd:
         for r in logger2.records:
             if "loss" in r:
                 assert np.isfinite(r["loss"])
+
+
+class TestQsmMeshRecipe:
+    """Backs the PARITY.md qsm row (VERDICT r4 #3): the reference trains qsm
+    whole volumes at batch 4 (ref qsm_deep_grey_matter.py:64,137); one v5e
+    chip cannot hold that backward pass, so the single-chip recipe is
+    microbatch 2 + accumulate_steps=2 and the multi-chip claim is that a
+    2-device DP mesh "recovers per-step batch 4 outright".  Both halves are
+    asserted here on the qsm model family (NestedResUNet 2ch->10ch, Adam
+    2e-4, hybrid loss) at a tiny shape."""
+
+    def _batch(self, n=4, shape=(16, 16, 8), classes=10, seed=5):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n, 2, *shape)).astype(np.float32)
+        ids = rng.integers(0, classes, size=(n, *shape))
+        y = np.moveaxis(np.eye(classes, dtype=np.float32)[ids], -1, 1)
+        return {"X": X, "y": y}
+
+    def _model(self, **kw):
+        import segmentation_pipeline_tpu as sp
+        from segmentation_pipeline_tpu.training.model import SegModel
+
+        return SegModel(sp.NestedResUNet(input_channels=2,
+                                         output_channels=10, filters=4,
+                                         dropout_p=0.0, **kw))
+
+    def _run(self, model, optimizer, batches, mesh=None):
+        from segmentation_pipeline_tpu.criterions import HybridLogisticDiceLoss
+        from segmentation_pipeline_tpu.training.train_step import (
+            collate_to_device, create_train_state, make_train_step)
+
+        state = create_train_state(model, optimizer, batches[0])
+        step = make_train_step(model.module, HybridLogisticDiceLoss(),
+                               optimizer, mesh=mesh)
+        for i, b in enumerate(batches):
+            db = collate_to_device(b, mesh=mesh)
+            state, loss, _ = step(state, db, jax.random.PRNGKey(100 + i))
+        jax.block_until_ready(state.params)
+        return state, float(loss["loss"])
+
+    def test_two_device_dp_mesh_recovers_per_step_batch4(self):
+        """2-device DP mesh at per-step batch 4 follows the single-device
+        batch-4 trajectory: BatchNorm batch statistics are computed over the
+        GLOBAL batch under GSPMD (XLA inserts the cross-device reductions),
+        so the mesh run IS the reference batch-4 program — only collective
+        fp accumulation order differs."""
+        import segmentation_pipeline_tpu as sp
+
+        batches = [self._batch(seed=s) for s in (5, 6, 7)]
+
+        sp.seed_all(31)
+        m1 = self._model()
+        from segmentation_pipeline_tpu.training.optimizers import Adam
+
+        s1, loss1 = self._run(m1, Adam(lr=2e-4), batches, mesh=None)
+
+        sp.seed_all(31)
+        m2 = self._model()
+        mesh2 = make_mesh(n_devices=2, axis_names=("data", "model"),
+                          shape=(2, 1))
+        s2, loss2 = self._run(m2, Adam(lr=2e-4), batches, mesh=mesh2)
+
+        np.testing.assert_allclose(loss2, loss1, rtol=1e-4)
+        flat1 = jax.tree_util.tree_leaves(s1.params)
+        flat2 = jax.tree_util.tree_leaves(s2.params)
+        for a, b in zip(flat1, flat2):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-3, atol=1e-6)
+
+    def test_microbatch_accumulation_matches_batch4_modulo_bn(self):
+        """The single-chip recipe: Adam(accumulate_steps=2) over microbatch-2
+        halves reproduces the plain batch-4 parameter trajectory EXACTLY when
+        batch statistics are out of the picture (use_norm=False) — gradient
+        averaging is linear in per-sample losses (criterion reduces per
+        sample).  With BatchNorm the microbatch run normalizes over 2-sample
+        statistics instead of 4 — the one DOCUMENTED divergence of the
+        recipe (PARITY.md qsm row)."""
+        import segmentation_pipeline_tpu as sp
+        from segmentation_pipeline_tpu.training.optimizers import Adam
+
+        batches = [self._batch(seed=s) for s in (8, 9)]
+
+        sp.seed_all(32)
+        ma = self._model(use_norm=False)
+        sa, _ = self._run(ma, Adam(lr=2e-4), batches, mesh=None)
+
+        # same batches split into their microbatch-2 halves, one optimizer
+        # step per pair via optax.MultiSteps
+        sp.seed_all(32)
+        mb = self._model(use_norm=False)
+        micro = []
+        for b in batches:
+            micro.append({k: v[:2] for k, v in b.items()})
+            micro.append({k: v[2:] for k, v in b.items()})
+        sb, _ = self._run(mb, Adam(lr=2e-4, accumulate_steps=2), micro,
+                          mesh=None)
+
+        for a, b in zip(jax.tree_util.tree_leaves(sa.params),
+                        jax.tree_util.tree_leaves(sb.params)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_microbatch_accumulation_on_mesh_halves(self):
+        """The hybrid deployment: accumulate_steps=2 ALSO composes with a DP
+        mesh (each microbatch-2 sharded over 2 devices) — the qsm recipe
+        scales down chips without changing the effective batch."""
+        import segmentation_pipeline_tpu as sp
+        from segmentation_pipeline_tpu.training.optimizers import Adam
+
+        batches = [self._batch(seed=s) for s in (8, 9)]
+        micro = []
+        for b in batches:
+            micro.append({k: v[:2] for k, v in b.items()})
+            micro.append({k: v[2:] for k, v in b.items()})
+
+        sp.seed_all(33)
+        ma = self._model(use_norm=False)
+        sa, _ = self._run(ma, Adam(lr=2e-4, accumulate_steps=2), micro,
+                          mesh=None)
+
+        sp.seed_all(33)
+        mb = self._model(use_norm=False)
+        mesh2 = make_mesh(n_devices=2, axis_names=("data", "model"),
+                          shape=(2, 1))
+        sb, _ = self._run(mb, Adam(lr=2e-4, accumulate_steps=2), micro,
+                          mesh=mesh2)
+
+        for a, b in zip(jax.tree_util.tree_leaves(sa.params),
+                        jax.tree_util.tree_leaves(sb.params)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-3, atol=1e-6)
