@@ -55,7 +55,11 @@ def _device_aug_config():
     mode = os.environ.get("DEVICE_AUG", "1")
     if mode == "0":
         return None
-    if mode == "auto":
+    if mode in ("auto", "combined"):
+        # "combined": the ablation experiment's combined mode (ref
+        # configs/augmentation.py:41-50) — ReconstructMeanDWI + the standard
+        # block; resolves through the HYBRID derivation (mean_dwi
+        # regenerated on host per batch, spliced into the device cache)
         return "auto"
     cfg = {}
     gd = os.environ.get("WARP_GATHER")
@@ -80,10 +84,27 @@ def build(root: Path):
         sp.write_nifti(d / "md.nii.gz", img * 0.5, np.eye(4))
         sp.write_nifti(d / "fa.nii.gz", img * 0.25, np.eye(4))
         sp.write_nifti(d / "whole_roi.nii.gz", seg, np.eye(4))
+        if os.environ.get("DEVICE_AUG") == "combined":
+            # 30-direction DWI series for the hybrid mean_dwi resynthesis
+            # (realistic series size: ~24 MB/subject)
+            full = np.repeat(img, 30, axis=0) + rng.normal(
+                scale=0.1, size=(30, *shape)).astype(np.float32)
+            sp.write_nifti(d / "full_dwi.nii.gz", full, np.eye(4))
+            grad = np.concatenate([rng.normal(size=(30, 3)),
+                                   np.full((30, 1), 400.0)], 1)
+            np.savetxt(d / "full_dwi_grad.b", grad)
         with open(d / "attributes.json", "w") as f:
             json.dump({"fold": i % 4}, f)
 
-    loader = sp.ComposeLoaders([
+    dwi_loaders = []
+    if os.environ.get("DEVICE_AUG") == "combined":
+        dwi_loaders = [
+            sp.ImageLoader(glob_pattern="full_dwi.*", image_name="full_dwi",
+                           image_constructor=sp.ScalarImage),
+            sp.TensorLoader(glob_pattern="full_dwi_grad.b",
+                            tensor_name="grad", belongs_to="full_dwi"),
+        ]
+    loader = sp.ComposeLoaders(dwi_loaders + [
         sp.ImageLoader(glob_pattern="mean_dwi.*", image_name="mean_dwi",
                        image_constructor=sp.ScalarImage),
         sp.ImageLoader(glob_pattern="md.*", image_name="md",
@@ -108,7 +129,7 @@ def build(root: Path):
         sp.CustomOneHot(include=["y"]),
     ])
     transforms = {"default": model_io}
-    if os.environ.get("DEVICE_AUG") == "auto":
+    if os.environ.get("DEVICE_AUG") in ("auto", "combined"):
         # the REFERENCE augmentation block (ref main_config.py:86-100);
         # device_augmentation="auto" derives the fused device config from it
         noise = sp.RandomNoise(std=0.035, p=0.3)
@@ -117,13 +138,22 @@ def build(root: Path):
             sp.RandomFlip(axes=(0, 1, 2)),
             sp.RandomElasticDeformation(p=0.5, num_control_points=(7, 7, 4),
                                         locked_borders=1,
-                                        image_interpolation="bspline"),
+                                        image_interpolation="bspline",
+                                        exclude=["full_dwi"]),
             sp.RandomBiasField(p=0.5),
             sp.RescaleIntensity((0, 1), (0.01, 99.9)),
             sp.RandomGamma(p=0.8),
             sp.RescaleIntensity((-1, 1)),
             sp.OneOf([sp.Compose([blur, noise]), sp.Compose([noise, blur])]),
-        ])
+        ], exclude=["full_dwi"])
+        if os.environ.get("DEVICE_AUG") == "combined":
+            # the ablation's combined mode: dwi resynthesis ahead of the
+            # standard block (ref configs/augmentation.py:49-50)
+            augmentation = sp.Compose([
+                sp.ReconstructMeanDWI(num_dwis=(1, 7), num_directions=(1, 3),
+                                      directionality=(4, 10)),
+                augmentation,
+            ])
         transforms["training"] = sp.Compose([augmentation, model_io])
 
     eval_interval = int(os.environ.get("EVAL_INTERVAL", "0"))
@@ -140,7 +170,10 @@ def build(root: Path):
                           subject_path="subjects", subject_loader=loader,
                           cohorts=cohorts, transforms=transforms)
     context.add_component("model", sp.NestedResUNet, input_channels=3,
-                          output_channels=2, filters=40, dropout_p=0.2)
+                          output_channels=2,
+                          # FILTERS: CPU smoke tests shrink the model
+                          filters=int(os.environ.get("FILTERS", "40")),
+                          dropout_p=0.2)
     context.add_component("optimizer", sp.Adam, lr=2e-4)
     context.add_component("criterion", sp.HybridLogisticDiceLoss)
     context.add_component(
@@ -357,7 +390,9 @@ def build_qsm(root: Path):
                           subject_path="subjects", subject_loader=loader,
                           cohorts=cohorts, transforms=transforms)
     context.add_component("model", sp.NestedResUNet, input_channels=2,
-                          output_channels=10, filters=40, dropout_p=0.2,
+                          output_channels=10,
+                          filters=int(os.environ.get("FILTERS", "40")),
+                          dropout_p=0.2,
                           # whole-volume (120,144,96) batch-4 training holds
                           # five full-res 40ch nodes alive in the backward
                           # pass; without block remat the step needs 72.7G

