@@ -259,3 +259,69 @@ class TestDeferredMetricFetch:
         # synchronous extras
         for r in (sync[0], deferred[0], sync[10], deferred[10]):
             assert "segmentation_eval" in r and "model_score" in r
+
+
+class TestAutoAugReentry:
+    """Round-5 guards: in-process train() re-entry must not silently lose
+    the auto-derived device augmentation (the dataset already carries the
+    deterministic remainder), and stale optimizer state must not survive a
+    structural change (ADVICE r4)."""
+
+    def _aug_context(self, root, logs):
+        context = build_context(root, logs)
+        defn = context.get_component_definition("dataset")
+        transforms = defn["params"]["transforms"]
+        aug = sp.Compose([sp.RandomFlip(axes=(0, 1, 2)),
+                          sp.RandomNoise(std=0.05, p=0.5)])
+        transforms["training"] = sp.Compose(
+            [aug] + list(transforms["default"].transforms))
+        context.update_component("trainer", device_cache=True,
+                                 device_augmentation="auto")
+        return context
+
+    def test_reentry_keeps_auto_augmentation(self, tmp_path):
+        root, logs = tmp_path / "ds", tmp_path / "logs"
+        build_dataset(root)
+        context = self._aug_context(root, logs)
+        context.init_components()
+        logger = FileLogger(str(logs))
+        context.trainer.train(context, max_iterations=2, logger=logger)
+        cfg1 = context.trainer.resolved_device_augmentation
+        assert cfg1 is not None and cfg1["noise_p"] == 0.5
+
+        context.trainer.train(context, max_iterations=2, logger=logger)
+        assert context.trainer.resolved_device_augmentation == cfg1, \
+            "auto augmentation silently lost on in-process re-entry"
+        assert context.trainer.iteration == 4
+
+    def test_optimizer_swap_reinitializes_opt_state(self, tmp_path, capsys):
+        root, logs = tmp_path / "ds", tmp_path / "logs"
+        build_dataset(root)
+        context = build_context(root, logs)
+        context.init_components()
+        logger = FileLogger(str(logs))
+        context.trainer.train(context, max_iterations=2, logger=logger)
+        state1 = context.trainer._train_state
+        assert state1 is not None
+
+        # swap the optimizer component in place (different state structure:
+        # Adam -> SGD+momentum); the stale Adam moments must NOT be reused
+        from segmentation_pipeline_tpu.training.optimizers import SGD
+
+        context.optimizer = SGD(lr=1e-3, momentum=0.9)
+        context.trainer.train(context, max_iterations=2, logger=logger)
+        out = capsys.readouterr().out
+        assert "reinitializing optimizer state" in out
+        assert context.trainer.iteration == 4
+
+    def test_same_optimizer_reuses_opt_state(self, tmp_path, capsys):
+        root, logs = tmp_path / "ds", tmp_path / "logs"
+        build_dataset(root)
+        context = build_context(root, logs)
+        context.init_components()
+        logger = FileLogger(str(logs))
+        context.trainer.train(context, max_iterations=2, logger=logger)
+        context.trainer.train(context, max_iterations=2, logger=logger)
+        out = capsys.readouterr().out
+        assert "reinitializing optimizer state" not in out
+        assert context.trainer.iteration == 4
