@@ -180,6 +180,16 @@ def main():
 
         if os.environ.get("ASSERT", "1") == "1":
             drift_tol = float(os.environ.get("DRIFT_TOL", "0.15"))
+            # NOTE (this rig): the axon TPU tunnel client retains ~0.9x of
+            # every host->device transfer's bytes in host RSS — a bare
+            # `jnp.asarray(np_array)` loop with ZERO framework code and
+            # zero live jax arrays leaks identically (554 MB over 180
+            # 3.2 MB uploads; gc.collect + jax.clear_caches release
+            # nothing — PARITY.md "Tunnel upload retention"). Upload-heavy
+            # modes (DEVICE_AUG=combined's per-batch channel splice,
+            # no-cache full-batch uploads) therefore need RSS_TOL raised by
+            # ~ bytes/iter * iters on this rig; direct-attached hosts do
+            # not exhibit the retention.
             rss_tol = float(os.environ.get("RSS_TOL", "256"))
             hbm_tol = int(os.environ.get("HBM_TOL", str(64 << 20)))
             assert drift < drift_tol, \
