@@ -121,7 +121,9 @@ def main():
         dt = time.time() - t0
         rates.append(n_steps * batch / dt / (2.0 if split else 1.0))
     rates.sort()
-    volumes_per_sec = rates[len(rates) // 2]
+    import statistics
+
+    volumes_per_sec = float(statistics.median(rates))
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
@@ -234,7 +236,9 @@ def msseg2_bench():
         dt = time.time() - t0
         rates.append(n_steps * pbatch / dt)
     rates.sort()
-    pps = rates[len(rates) // 2]
+    import statistics
+
+    pps = float(statistics.median(rates))
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")

@@ -72,9 +72,10 @@ def augmentation_experiment(args):
         tpu_fast_path=fast,
         compute_dtype="bfloat16" if getattr(args, "bf16", False) else None)
     _train(context, args.logging_path, args.max_training_time, args.num_workers,
-           # the device cache pretransforms into HBM itself; host-side
-           # preload would duplicate the startup work
-           preload=not fast, max_iterations=args.max_iterations)
+           # preload stays ON with the fast path: it also feeds
+           # preload_validation_data, which the training device cache does
+           # NOT replace (validation sweeps reload+retransform otherwise)
+           preload=True, max_iterations=args.max_iterations)
 
 
 def augmentation_experiment_grid(args):

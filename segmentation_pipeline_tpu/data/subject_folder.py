@@ -81,7 +81,20 @@ class SubjectFolder:
         subjects.sort(key=lambda s: s["name"])
         self.all_subjects = subjects
         self.all_subjects_map = {s["name"]: s for s in subjects}
+        # set_cohort refreshes the subject VIEW but also re-derives
+        # self.transform from the transforms dict — which must not clobber a
+        # transform installed explicitly via set_transform(Transform): the
+        # trainer's device_augmentation="auto" swaps the dataset onto the
+        # deterministic remainder before pretransforming, and preload's
+        # view refresh used to silently revert it to the DECLARED stochastic
+        # pipeline (freezing one random draw into the device cache while the
+        # fused device stages re-augmented on top — the exact corruption the
+        # frozen-aug guard exists to prevent; round-5 regression:
+        # tests/test_device_cache.py::test_manual_transform_survives_preload)
+        transform = getattr(self, "transform", None)
         self.set_cohort(self.active_cohort)
+        if transform is not None:
+            self.transform = transform
 
     def set_subjects(self, subjects: List[Subject]):
         self.subjects = subjects
@@ -186,8 +199,9 @@ class SubjectFolder:
             subject = copy.deepcopy(subject)
             subject.load()
             loaded.append(subject)
+        # set_all_subjects refreshes the cohort view itself (and preserves a
+        # manually installed transform — see its comment)
         self.set_all_subjects(loaded)
-        self.set_cohort(self.active_cohort)
 
     def preload_and_transform_subjects(self):
         """Additionally apply the active transform once; item access then
@@ -199,9 +213,11 @@ class SubjectFolder:
             self._pretransformed = True
             # transform ALL subjects, not just the active cohort — rebuilding
             # all_subjects from the cohort-filtered view would permanently
-            # discard every excluded subject from the dataset
-            self.set_all_subjects([self.transform(s) for s in self.all_subjects])
-            self.set_cohort(self.active_cohort)
+            # discard every excluded subject from the dataset.  Bind the
+            # transform FIRST: set_all_subjects refreshes the view, and the
+            # applied pipeline must be exactly the one installed now
+            transform = self.transform
+            self.set_all_subjects([transform(s) for s in self.all_subjects])
 
     def load_additional_data(self, path: str, subject_loader: SubjectLoader):
         """Attach extra per-subject data (e.g. saved predictions) to matching

@@ -277,6 +277,31 @@ _COMMUTING_SUFFIX = (ConcatenateImages, RenameProperty, CopyProperty,
                      FindInterestingSlice, RescaleIntensity)
 
 
+def _compose_leaves(ts: Sequence[Transform]):
+    """Flatten Compose nesting into leaf transforms, preserving order
+    (shared by the include/exclude faithfulness guard and the hybrid
+    derivation so the two traces can never drift apart)."""
+    for t in ts:
+        sub = getattr(t, "transforms", None)
+        if isinstance(t, Compose) and sub is not None:
+            yield from _compose_leaves(sub)
+        else:
+            yield t
+
+
+def _trace_batch_sources(suffix_leaves: Sequence[Transform], seed) -> set:
+    """Walk the (ordered) suffix leaves BACKWARD propagating which image
+    names feed the ``seed`` names through Concatenate/Rename/Copy."""
+    sources = set(seed)
+    for t in reversed(list(suffix_leaves)):
+        if getattr(t, "new_image_name", None) in sources:
+            sources |= set(getattr(t, "image_names", []) or [])
+        if getattr(t, "new_name", None) in sources and \
+                getattr(t, "old_name", None):
+            sources.add(t.old_name)
+    return sources
+
+
 def _check_suffix(items: Sequence[Transform]):
     for t in items:
         if isinstance(t, Compose):
@@ -360,22 +385,7 @@ def derive_device_augmentation(
     # Compose, ref main_config.py:158-165 / msseg2.py:59-66), so the trace
     # must recurse into them — a top-level-only scan would miss the
     # Concatenate that builds X and leave the guard vacuous.
-    def _reversed_leaves(ts):
-        for t in reversed(ts):
-            sub = getattr(t, "transforms", None)
-            if isinstance(t, Compose) and sub is not None:
-                yield from _reversed_leaves(sub)
-            else:
-                yield t
-
-    sources = {"X", "y"}
-    for t in _reversed_leaves(suffix):
-        names = getattr(t, "new_image_name", None)
-        if names in sources:
-            sources |= set(getattr(t, "image_names", []) or [])
-        if getattr(t, "new_name", None) in sources and \
-                getattr(t, "old_name", None):
-            sources.add(t.old_name)
+    sources = _trace_batch_sources(list(_compose_leaves(suffix)), ("X", "y"))
 
     def _walk(t):
         yield t
@@ -500,6 +510,15 @@ def _hybrid_outputs(t) -> Optional[List[str]]:
     return None
 
 
+def _hybrid_inputs(t) -> List[str]:
+    """Image names a peeled transform READS (must stay pristine through the
+    cacheable pretransform so every per-batch resynthesis sees exactly the
+    data the declared order would — the reference host path retransforms
+    from the original subject each iteration)."""
+    name = getattr(t, "full_dwi_image_name", None)
+    return [name] if name is not None else []
+
+
 class HybridSpec:
     """Per-batch host stage of a hybrid augmentation derivation.
 
@@ -546,11 +565,13 @@ def derive_hybrid_augmentation(
     (training/hybrid_augment.py).
 
     Returns ``(host_pipeline, device_config, hybrid_spec)``; ``hybrid_spec``
-    is None when the plain derivation suffices.  The suffix RescaleIntensity
-    the finishers re-apply maps by per-image percentiles (an affine map), so
-    regenerating from the pretransformed full_dwi is exactly equivalent to
-    the declared order (mean and percentile-rescale commute with affine
-    intensity maps)."""
+    is None when the plain derivation suffices.  The cacheable host pipeline
+    EXCLUDES the peeled transforms' input images (full_dwi) from the suffix
+    steps: the declared order applies the model-io intensity steps AFTER the
+    resynthesis, and the reference host path retransforms from the original
+    subject every iteration — so the per-batch regeneration must read the
+    pristine (prefix-preprocessed) series, not a suffix-rescaled (and
+    percentile-CLIPPED) copy baked once at pretransform."""
     if transform is None or not contains_random(transform):
         return transform, None, None
 
@@ -579,28 +600,20 @@ def derive_hybrid_augmentation(
                  f"(device stages in between cannot run on host)")
 
     rebuilt = Compose(prefix + window + suffix)
-    host, cfg = derive_device_augmentation(rebuilt, spacing)
-    if cfg is None:
-        # window emptied: the whole stochastic content was peeled (the
-        # reference's dwi_reconstruction ablation mode) — the cacheable
-        # host pipeline is the deterministic remainder
-        host = Compose(prefix + suffix)
+    _, cfg = derive_device_augmentation(rebuilt, spacing)
 
     affected: List[str] = []
     for t in peeled:
         for n in _hybrid_outputs(t):
             if n not in affected:
                 affected.append(n)
+    inputs: List[str] = []
+    for t in peeled:
+        for n in _hybrid_inputs(t):
+            if n not in inputs:
+                inputs.append(n)
 
-    def _leaves(ts):
-        for t in ts:
-            sub = getattr(t, "transforms", None)
-            if isinstance(t, Compose) and sub is not None:
-                yield from _leaves(sub)
-            else:
-                yield t
-
-    suffix_leaves = list(_leaves(suffix))
+    suffix_leaves = list(_compose_leaves(suffix))
     concat = next((t for t in suffix_leaves
                    if isinstance(t, ConcatenateImages)
                    and t.new_image_name == "X"), None)
@@ -613,18 +626,37 @@ def derive_hybrid_augmentation(
              f"regenerated by {_name(peeled[0])} never feed the collated X "
              f"({list(concat.image_names)}) — the per-batch resynthesis "
              f"would be dead work; keep this transform on host")
+    _require(not (set(inputs) & set(concat.image_names)),
+             f"hybrid fast path: {sorted(set(inputs) & set(concat.image_names))} "
+             f"both feed the collated X directly AND drive the per-batch "
+             f"resynthesis — the pretransform must keep resynthesis inputs "
+             f"pristine, which would corrupt their cached X channel; keep "
+             f"this pipeline on host")
 
-    y_sources = {"y"}
-    for t in reversed(suffix_leaves):
-        if getattr(t, "new_image_name", None) in y_sources:
-            y_sources |= set(getattr(t, "image_names", []) or [])
-        if getattr(t, "new_name", None) in y_sources and \
-                getattr(t, "old_name", None):
-            y_sources.add(t.old_name)
+    y_sources = _trace_batch_sources(suffix_leaves, ("y",))
     _require(not (set(affected) & y_sources),
              f"hybrid fast path: {sorted(set(affected) & y_sources)} feed "
              f"the label y — labels live in the device cache and cannot be "
              f"regenerated per batch")
+
+    # data-modifying steps AFTER the concat operate on the collated X: the
+    # static channels bake them at pretransform, but the regenerated block
+    # cannot reproduce statistics computed over the whole X — refuse rather
+    # than silently train on inconsistently scaled channels
+    after_concat = suffix_leaves[suffix_leaves.index(concat) + 1:]
+    for t in after_concat:
+        if isinstance(t, (RescaleIntensity, ReplaceNan, SetDataType)):
+            targets = {"X", *affected}
+            inc = None if t.include is None else set(t.include)
+            exc = set(t.exclude or [])
+            touches = (targets - exc) if inc is None else (targets & inc) - exc
+            _require(not touches,
+                     f"{_name(t)} modifies {sorted(touches)} AFTER the "
+                     f"ConcatenateImages building X — the cached static "
+                     f"channels bake it at pretransform but the per-batch "
+                     f"regenerated channel cannot reproduce it; move it "
+                     f"before the concatenation or keep this pipeline on "
+                     f"host (device_augmentation=None, device_cache=False)")
 
     slots: Dict[str, Tuple[int, int]] = {}
     off = 0
@@ -648,6 +680,14 @@ def derive_hybrid_augmentation(
                 t2.include = sorted(inc)
                 t2.exclude = None
                 finishers.append(t2)
+
+    # the cacheable host pipeline: deterministic remainder with the
+    # resynthesis INPUTS excluded from the suffix — e.g. the dmri model-io
+    # RescaleIntensity (ref main_config.py:161, no exclude) would otherwise
+    # percentile-CLIP full_dwi once at pretransform, and mean-of-clipped !=
+    # the declared clip-after-mean order
+    host = Compose(prefix + [_with_extra_exclude(t, inputs) for t in suffix]) \
+        if inputs else Compose(prefix + suffix)
 
     spec = HybridSpec(
         peeled=peeled, finishers=finishers, slots=slots,

@@ -55,6 +55,21 @@ class HybridHostAugment:
 
             self._sharding = NamedSharding(mesh, P(data_axis))
 
+        # the splice trusts the DECLARED ConcatenateImages.image_channels —
+        # validate against the actual pretransformed data once, or a
+        # mismatch would silently write the regenerated block into the
+        # wrong channel span of every batch
+        if self.subjects:
+            probe = self.subjects[0]
+            for name, (off, n) in spec.slots.items():
+                actual = int(np.asarray(probe[name].data).shape[0])
+                if actual != n:
+                    raise ValueError(
+                        f"hybrid channel slots: image '{name}' has {actual} "
+                        f"channel(s) but the ConcatenateImages declaration "
+                        f"says {n} — fix image_channels in the model-io "
+                        f"concat")
+
         slots = [spec.slots[name] for name in spec.image_order]
 
         def splice(X, block):
@@ -98,7 +113,12 @@ class HybridHostAugment:
     def apply(self, X_device, indices):
         import jax
 
-        block = self._jnp.asarray(self.regenerate(indices))
+        # ONE transfer: device_put the numpy block straight into its target
+        # sharding (jnp.asarray first would commit it to the default device
+        # and reshard with a second copy)
+        host_block = self.regenerate(indices)
         if self._sharding is not None:
-            block = jax.device_put(block, self._sharding)
+            block = jax.device_put(host_block, self._sharding)
+        else:
+            block = self._jnp.asarray(host_block)
         return self._splice(X_device, block)

@@ -462,6 +462,9 @@ class SegmentationTrainer:
                     hybrid_rt = HybridHostAugment(
                         training_dataset.subjects, hybrid_spec,
                         x_dtype=x_np_dtype, mesh=self.mesh)
+                    # exposed for tests: the runtime holds the PRETRANSFORMED
+                    # subjects the per-batch stage actually reads
+                    self._hybrid_rt = hybrid_rt
                     print(f"hybrid device cache: static channels cached, "
                           f"{hybrid_spec.n_channels} channel(s) "
                           f"({', '.join(hybrid_spec.image_order)}) "
@@ -519,6 +522,9 @@ class SegmentationTrainer:
                             yield order[j:j + self.training_batch_size]
 
             phases["cache_build_s"] = round(time.time() - t, 2)
+            # exposed for tests: the dataset whose (pretransformed) subjects
+            # back the cache
+            self._cache_dataset = training_dataset
             print(f"Device cache: {cache.n_subjects} subjects, "
                   f"{cache.nbytes / 2 ** 20:.0f} MiB in HBM")
             if cache._is_onehot and not expand_in_cache:
@@ -640,20 +646,25 @@ class SegmentationTrainer:
                         # model would otherwise fail opaquely inside the
                         # jitted step, or silently carry stale moments)
                         opt_state = self._train_state.opt_state
-                        fresh = optimizer.init(model.params)
+                        # eval_shape: structure+shape info with ZERO device
+                        # allocation (a real init would transiently double
+                        # the optimizer state in HBM — decisive on the
+                        # memory-tight qsm config)
+                        fresh_abs = jax.eval_shape(optimizer.init,
+                                                   model.params)
                         same = (jax.tree_util.tree_structure(opt_state)
-                                == jax.tree_util.tree_structure(fresh))
+                                == jax.tree_util.tree_structure(fresh_abs))
                         if same:
                             shapes = jax.tree_util.tree_map(
                                 lambda a: np.shape(a), opt_state)
                             fresh_shapes = jax.tree_util.tree_map(
-                                lambda a: np.shape(a), fresh)
+                                lambda a: tuple(a.shape), fresh_abs)
                             same = shapes == fresh_shapes
                         if not same:
                             print("trainer: optimizer/param structure "
                                   "changed since the previous train() call "
                                   "— reinitializing optimizer state")
-                            opt_state = fresh
+                            opt_state = optimizer.init(model.params)
                     else:
                         opt_state = optimizer.init(model.params)
                     self._train_state = TrainState(

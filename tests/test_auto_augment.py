@@ -8,6 +8,7 @@ criterion: every stochastic transform they declare must map onto a fused
 device stage, reproducing DMRI_REFERENCE_CONFIG / MSSEG2_REFERENCE_CONFIG.
 """
 import json
+import os
 import sys
 
 import numpy as np
@@ -25,7 +26,7 @@ from segmentation_pipeline_tpu.training.auto_augment import (
     derive_device_augmentation,
 )
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def dmri_training_pipeline():

@@ -379,3 +379,73 @@ class TestFullBatchesAcrossEpochTails:
                               logger=sp.NonLogger(),
                               pretransform_training_data=True)
         assert len(sizes) >= 7 and all(s == 2 for s in sizes), sizes
+
+
+class TestTransformSurvivesPreload:
+    """Round-5 regression (severe, silent): set_all_subjects' cohort-view
+    refresh re-derived self.transform from the transforms dict, so the
+    trainer's device_augmentation='auto' swap onto the deterministic
+    remainder was CLOBBERED and the device cache was pretransformed with
+    the DECLARED STOCHASTIC pipeline — one frozen random draw baked into
+    HBM with the fused device stages re-augmenting on top."""
+
+    def _folder(self, tmp_path):
+        build_dataset(tmp_path / "ds")
+        loader = sp.ComposeLoaders([
+            sp.ImageLoader(glob_pattern="t1.*", image_name="t1",
+                           image_constructor=sp.ScalarImage),
+            sp.ImageLoader(glob_pattern="seg.*", image_name="seg",
+                           image_constructor=sp.LabelMap,
+                           label_values={"fg": 1}),
+            sp.AttributeLoader(glob_pattern="attributes.*"),
+        ])
+        declared = sp.Compose([
+            sp.RandomFlip(axes=(0, 1, 2)),
+            sp.ConcatenateImages(image_names=["t1"], image_channels=[1],
+                                 new_image_name="X"),
+        ])
+        return sp.SubjectFolder(
+            root=str(tmp_path / "ds"), subject_path="subjects",
+            subject_loader=loader, cohorts={},
+            transforms={"default": declared})
+
+    def test_manual_transform_survives_preload(self, tmp_path):
+        folder = self._folder(tmp_path)
+        manual = sp.Compose([
+            sp.ConcatenateImages(image_names=["t1"], image_channels=[1],
+                                 new_image_name="X")])
+        folder.set_transform(manual)
+        folder.preload_subjects()
+        assert folder.transform is manual, \
+            "preload clobbered the manually installed transform"
+        folder.preload_and_transform_subjects()
+        for s in folder.subjects:
+            names = [type(r.transform).__name__ for r in s.history]
+            assert names == ["ConcatenateImages"], names
+
+    def test_explicit_set_cohort_still_switches_transform(self, tmp_path):
+        folder = self._folder(tmp_path)
+        manual = sp.Compose([sp.ReplaceNan()])
+        folder.set_transform(manual)
+        folder.set_cohort("all")
+        assert folder.transform is not manual  # explicit switches win
+
+    def test_auto_cache_pretransform_is_deterministic(self, tmp_path):
+        """End to end: auto + device_cache must bake ONLY the deterministic
+        remainder into the cache — no stochastic record on any cached
+        subject's history tape."""
+        from tests.test_trainer_extras import TestAutoAugReentry
+
+        root, logs = tmp_path / "ds", tmp_path / "logs"
+        build_dataset(root)
+        ctx = TestAutoAugReentry()._aug_context(root, logs)
+        ctx.init_components()
+        ctx.trainer.train(ctx, max_iterations=1,
+                          logger=FileLogger(str(logs)))
+        ds = ctx.trainer._cache_dataset
+        assert ds._pretransformed
+        stochastic = {"Flip", "RandomFlip", "RandomNoise"}
+        for s in ds.subjects:
+            names = {type(r.transform).__name__ for r in s.history}
+            assert not (names & stochastic), \
+                f"stochastic draw frozen into the device cache: {names}"

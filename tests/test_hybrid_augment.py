@@ -11,6 +11,7 @@ dwi_reconstruction/combined modes (ref configs/augmentation.py:41-50).
 """
 import copy
 import json
+import os
 import sys
 
 import numpy as np
@@ -25,7 +26,8 @@ from segmentation_pipeline_tpu.training.auto_augment import (
 )
 from segmentation_pipeline_tpu.training.hybrid_augment import HybridHostAugment
 
-sys.path.insert(0, "/root/repo")
+# repo root (for the research.* config imports), not a hardcoded path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _dwi_block():
@@ -47,8 +49,11 @@ def _standard_block():
 
 
 def _model_io(image_names=("mean_dwi", "md")):
+    # NOTE: like the reference (ref main_config.py:161), the model-io
+    # rescale has NO exclude — the hybrid derivation itself must keep the
+    # resynthesis input (full_dwi) pristine through the pretransform
     return sp.Compose([
-        sp.RescaleIntensity((-1.0, 1.0), (0.5, 99.5), exclude=["full_dwi"]),
+        sp.RescaleIntensity((-1.0, 1.0), (0.5, 99.5)),
         sp.ConcatenateImages(image_names=list(image_names),
                              image_channels=[1] * len(image_names),
                              new_image_name="X"),
@@ -270,9 +275,7 @@ class TestHybridRuntime:
         sp.seed_all(6)
         ctx = _build_context(tmp_path, device_cache=True)
         ctx.trainer.train(ctx, max_iterations=1, logger=_CaptureLogger())
-        spec = ctx.trainer._resolved_hybrid_spec
-        tds = ctx.dataset.get_cohort_dataset("training")
-        rt = HybridHostAugment(tds.subjects, spec)
+        rt = ctx.trainer._hybrid_rt
         b1 = rt.regenerate([0, 1])
         b2 = rt.regenerate([0, 1])
         assert b1.shape == (2, 16, 16, 8, 1)
@@ -292,14 +295,14 @@ class TestHybridRuntime:
         ctx = _build_context(tmp_path, device_cache=True)
         ctx.trainer.train(ctx, max_iterations=1, logger=_CaptureLogger())
         spec = ctx.trainer._resolved_hybrid_spec
-        tds = ctx.dataset.get_cohort_dataset("training")
-        rt = HybridHostAugment(tds.subjects, spec)
+        rt = ctx.trainer._hybrid_rt
+        subjects = rt.subjects
 
-        before = np.asarray(tds.subjects[0]["mean_dwi"].data).copy()
+        before = np.asarray(subjects[0]["mean_dwi"].data).copy()
         sp.seed_all(42)
         blk = rt.regenerate([0])[0, ..., 0]
         sp.seed_all(42)
-        s = copy.deepcopy(tds.subjects[0])
+        s = copy.deepcopy(subjects[0])
         for t in spec.peeled:
             t(s, record=False)
         for t in spec.finishers:
@@ -308,7 +311,76 @@ class TestHybridRuntime:
                                    rtol=1e-6)
         # the cached subject's static channel is untouched by regeneration
         np.testing.assert_array_equal(
-            np.asarray(tds.subjects[0]["mean_dwi"].data), before)
+            np.asarray(subjects[0]["mean_dwi"].data), before)
+
+    def test_resynthesis_input_stays_pristine_through_pretransform(
+            self, tmp_path):
+        """CODE-REVIEW r5 fix: the real model-io rescale (no exclude, ref
+        main_config.py:161) percentile-CLIPS whatever it touches — the
+        cacheable pretransform must leave full_dwi pristine so every
+        per-batch resynthesis reads the data the declared order would
+        (mean-of-clipped != the declared clip-after-mean)."""
+        _write_dwi_dataset(tmp_path)
+        raw = {}
+        for i in range(4):
+            data, _ = sp.read_nifti(
+                tmp_path / "subjects" / f"s{i}" / "full_dwi.nii.gz")
+            raw[f"s{i}"] = data
+        sp.seed_all(21)
+        ctx = _build_context(tmp_path, device_cache=True)
+        ctx.trainer.train(ctx, max_iterations=1, logger=_CaptureLogger())
+        # the runtime holds the PRETRANSFORMED subjects the per-batch stage
+        # reads (get_cohort_dataset returns a fresh raw view — useless here)
+        subjects = ctx.trainer._hybrid_rt.subjects
+        assert subjects and all("X" in s for s in subjects)
+        checked = 0
+        for s in subjects:
+            np.testing.assert_allclose(
+                np.asarray(s["full_dwi"].data), raw[s["name"]], rtol=1e-6,
+                err_msg="full_dwi was modified by the cacheable pretransform")
+            checked += 1
+        assert checked >= 2
+        # ...while the STATIC channels did get the suffix rescale baked
+        # (md's X channel clipped+rescaled to [-1, 1])
+        md = np.asarray(subjects[0]["md"].data)
+        assert md.min() >= -1 - 1e-5 and md.max() <= 1 + 1e-5
+
+    def test_post_concat_rescale_refused(self):
+        """CODE-REVIEW r5 fix: an X-level intensity step after the concat
+        is baked into the static channels but unreproducible on the
+        regenerated block — refuse instead of training on inconsistently
+        scaled channels."""
+        t = sp.Compose([
+            _dwi_block(),
+            sp.RandomFlip(axes=(0, 1, 2)),
+            sp.Compose([
+                sp.ConcatenateImages(image_names=["mean_dwi", "md"],
+                                     image_channels=[1, 1],
+                                     new_image_name="X"),
+                sp.RescaleIntensity((-1, 1)),
+                sp.RenameProperty(old_name="seg", new_name="y"),
+            ]),
+        ])
+        with pytest.raises(AugmentationDerivationError,
+                           match="AFTER the"):
+            derive_hybrid_augmentation(t)
+
+    def test_channel_slot_mismatch_raises(self, tmp_path):
+        """CODE-REVIEW r5 fix: declared image_channels that disagree with
+        the actual data must fail loudly at cache build, not silently
+        splice into the wrong span."""
+        _write_dwi_dataset(tmp_path, n=2)
+        sp.seed_all(22)
+        ctx = _build_context(tmp_path, device_cache=True)
+        ctx.trainer.train(ctx, max_iterations=1, logger=_CaptureLogger())
+        spec = ctx.trainer._resolved_hybrid_spec
+        subjects = ctx.trainer._hybrid_rt.subjects
+        import copy as _copy
+
+        bad_spec = _copy.copy(spec)
+        bad_spec.slots = {"mean_dwi": (0, 2)}  # lies about the channel count
+        with pytest.raises(ValueError, match="channel"):
+            HybridHostAugment(subjects, bad_spec)
 
     def test_patch_loader_with_hybrid_refused(self, tmp_path):
         _write_dwi_dataset(tmp_path)
