@@ -42,6 +42,15 @@ class LabelMapEvaluator(Evaluator):
             self.poly_func = None
 
     def __call__(self, subjects):
+        if not subjects:
+            empty = LabeledTensor(
+                dim_names=["subject", "label", "stat"],
+                dim_keys=[[], [], list(self.stats_to_output)])
+            return {
+                "subject_stats": empty.to_dataframe(),
+                "summary_stats": empty.compute_summary_stats(
+                    self.summary_stats_to_output),
+            }
         label_values = subjects[0][self.label_map_name]["label_values"]
         label_names = list(label_values.keys())
         subject_names = [s["name"] for s in subjects]

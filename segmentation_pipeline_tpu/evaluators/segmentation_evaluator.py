@@ -130,6 +130,18 @@ class SegmentationEvaluator(Evaluator):
         return None
 
     def __call__(self, subjects):
+        if not subjects:
+            # an empty cohort still produces a result (the trainer always
+            # emits the cohort key so config scoring functions can index it
+            # — reference semantics, ref segmentation_trainer.py:229-233)
+            empty = LabeledTensor(
+                dim_names=["subject", "label", "stat"],
+                dim_keys=[[], [], list(self.stats_to_output)])
+            return {
+                "subject_stats": empty.to_dataframe(),
+                "summary_stats": empty.compute_summary_stats(
+                    self.summary_stats_to_output),
+            }
         entry0 = self._device_entry(subjects[0])
         if entry0 is not None:
             # confusion-only sweeps don't attach the eval images at all

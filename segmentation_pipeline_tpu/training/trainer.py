@@ -42,11 +42,27 @@ def _clean_exit_handler(signum, frame):
 def install_signal_handlers():
     """SIGINT/SIGTERM/SIGUSR2 -> clean-exit event (SLURM preemption,
     ref segmentation_trainer.py:22-30). Safe to call from the main thread
-    only; the trainer calls it lazily."""
-    signal.signal(signal.SIGINT, _clean_exit_handler)
-    signal.signal(signal.SIGTERM, _clean_exit_handler)
+    only; the trainer calls it lazily.  Returns {signum: previous handler}
+    so train() can restore them on exit — otherwise Ctrl+C would be
+    permanently swallowed for the rest of the process after one training
+    run."""
+    previous = {}
+    previous[signal.SIGINT] = signal.signal(signal.SIGINT,
+                                            _clean_exit_handler)
+    previous[signal.SIGTERM] = signal.signal(signal.SIGTERM,
+                                             _clean_exit_handler)
     if os.name != "nt":
-        signal.signal(signal.SIGUSR2, _clean_exit_handler)
+        previous[signal.SIGUSR2] = signal.signal(signal.SIGUSR2,
+                                                 _clean_exit_handler)
+    return previous
+
+
+def restore_signal_handlers(previous):
+    for signum, handler in (previous or {}).items():
+        try:
+            signal.signal(signum, handler)
+        except (ValueError, TypeError):  # non-main thread / exotic handler
+            pass
 
 
 class ScheduledEvaluation:
@@ -187,8 +203,13 @@ class SegmentationTrainer:
               num_workers: int = 0, validation_batch_size: int = 16,
               logger: Logger = None, force_continue: bool = False):
         logger = logger or NonLogger()
+        # a previous signal-stopped run must not poison this one: EXIT is
+        # process-global and was never cleared on re-entry (a second
+        # train() call after Ctrl+C exited after one iteration)
+        EXIT.clear()
+        self._prev_signal_handlers = None
         if threading.current_thread() is threading.main_thread():
-            install_signal_handlers()
+            self._prev_signal_handlers = install_signal_handlers()
 
         if max_training_time is not None:
             training_time = time_str_to_seconds(max_training_time)
@@ -217,6 +238,7 @@ class SegmentationTrainer:
         # deterministic remainder (prefix preprocessing + model-io suffix).
         device_aug = self.device_augmentation
         hybrid_spec = None
+        probe_subject = None  # auto-aug spacing probe, reused for metadata
         if device_aug == "auto" \
                 and training_dataset.transform is getattr(
                     self, "_auto_aug_host_transform", object()):
@@ -250,8 +272,9 @@ class SegmentationTrainer:
                 if aug_cfg is not None and (
                         aug_cfg.get("blur_p", 0) or aug_cfg.get("elastic_p", 0)
                         or aug_cfg.get("spatial_mode") == "oneof"):
-                    probe = training_dataset[0]
-                    spacing = tuple(float(s) for s in probe["X"].spacing)
+                    probe_subject = training_dataset[0]
+                    spacing = tuple(float(s)
+                                    for s in probe_subject["X"].spacing)
                     _, aug_cfg, _ = derive_hybrid_augmentation(declared,
                                                                spacing)
                 device_aug = aug_cfg
@@ -343,9 +366,12 @@ class SegmentationTrainer:
             training_iterator = infinite(training_dataloader)
 
         # label attributes for wrapping raw predictions as LabelMaps
-        # (ref :153-158)
-        y_sample = training_dataset[0]["y"]
-        label_attributes = dict(y_sample.metadata)
+        # (ref :153-158) — reuse the auto-aug spacing probe when it ran:
+        # host transforms cost seconds at msseg2 scale and dataset[0]
+        # applies the full pipeline
+        sample = probe_subject if probe_subject is not None \
+            else training_dataset[0]
+        label_attributes = dict(sample["y"].metadata)
 
         # per-run device-confusion state machine (probe -> on/off)
         confusion_mgr = None
@@ -381,6 +407,13 @@ class SegmentationTrainer:
                 "device_augmentation with a refine_image (cascade) predictor "
                 "is not supported: geometric augmentation would misalign the "
                 "prior — augment in the host pipeline instead")
+        if self.spatial_axis is not None and device_aug is not None:
+            raise ValueError(
+                "device_augmentation with spatial_axis (W-sharded volumes) "
+                "is not supported: the fused warp's computed-index gathers "
+                "would force GSPMD to reshard/replicate the full volume — "
+                "the very thing spatial sharding exists to avoid. Augment "
+                "in the host pipeline, or drop spatial_axis")
 
         # Compact host->device transfer: one-hot labels ship as uint8 ids
         # (expanded back on device — bit-identical) and, under bf16 mixed
@@ -628,7 +661,14 @@ class SegmentationTrainer:
                 timer.stamp("data_loading")
 
                 if train_step is None:
-                    model.ensure_initialized(np.moveaxis(np.asarray(batch["X"]), -1, 1))
+                    # stay on device: pulling the whole first batch D2H just
+                    # to re-upload one example costs seconds on a slow host
+                    # link (ensure_initialized only needs a single
+                    # channel-first example; jnp ops keep it device-side)
+                    import jax.numpy as jnp
+
+                    model.ensure_initialized(
+                        jnp.moveaxis(batch["X"][:1], -1, 1))
                     restored = getattr(self, "_restored_opt_state", None)
                     if restored is not None:
                         import jax.numpy as jnp
@@ -728,12 +768,18 @@ class SegmentationTrainer:
                 # round trip overlaps this iteration's device work
                 flush_deferred()
 
+                # the scheduled lists drive BOTH the busy predicate and
+                # the evaluator blocks below — computed once so the
+                # deferred-fetch gate can never drift from the code that
+                # needs a synchronous fetch
+                scheduled_train = [s for s in self.training_evaluators
+                                   if self.iteration % s.interval == 0]
+                scheduled_validation = [s for s in self.validation_evaluators
+                                        if self.iteration % s.interval == 0]
                 busy = (
                     not self.defer_metric_fetch
-                    or any(self.iteration % s.interval == 0
-                           for s in self.training_evaluators)
-                    or any(self.iteration % s.interval == 0
-                           for s in self.validation_evaluators)
+                    or bool(scheduled_train)
+                    or bool(scheduled_validation)
                     or self.iteration % self.save_rate == 0
                     or (self.scoring_function is not None
                         and self.iteration % self.scoring_interval == 0))
@@ -751,8 +797,6 @@ class SegmentationTrainer:
 
                 # Scheduled training evaluators see the train-mode predictions
                 training_evaluations = {}
-                scheduled_train = [s for s in self.training_evaluators
-                                   if self.iteration % s.interval == 0]
                 if scheduled_train:
                     if callable(subjects):  # device-cache lazy batch subjects
                         subjects = subjects()
@@ -775,8 +819,6 @@ class SegmentationTrainer:
 
                 # Scheduled validation sweep
                 validation_evaluations = {}
-                scheduled_validation = [s for s in self.validation_evaluators
-                                        if self.iteration % s.interval == 0]
                 if scheduled_validation:
                     t_sweep = time.time()
                     validation_filter = self.get_filter_from_scheduled_evaluations(
@@ -830,9 +872,14 @@ class SegmentationTrainer:
                             for cohort_name in scheduled.cohorts:
                                 subject_filter = validation_dataset.cohorts[cohort_name]
                                 filtered = subject_filter(validation_subjects)
-                                if not filtered:  # empty cohort: nothing to evaluate
-                                    continue
-                                cohort_evaluations[cohort_name] = scheduled.evaluator(filtered)
+                                # ALWAYS produce the cohort key — the
+                                # reference does (ref :229-233), and config
+                                # scoring functions index
+                                # log_dict[log_name][cohort_name]; a
+                                # silently missing key crashes far from the
+                                # root cause
+                                cohort_evaluations[cohort_name] = \
+                                    scheduled.evaluator(filtered)
                                 timer.stamp(f"evaluation.{scheduled.log_name}.{cohort_name}")
                         elif scheduled.subjects is not None:
                             filtered = [validation_subjects_map[name]
@@ -892,6 +939,11 @@ class SegmentationTrainer:
             print("Saving context...")
             logger.save_context(context, "checkpoints/", self.iteration)
         finally:
+            # hand the process's signal handling back: without this, SIGINT
+            # keeps mapping to the clean-exit event after train() returns and
+            # the user can never Ctrl+C subsequent work
+            restore_signal_handlers(
+                getattr(self, "_prev_signal_handlers", None))
             # drain pending async checkpoint writes before returning — the
             # exit checkpoint must be durable the moment train() returns
             # (SLURM preemption semantics, ref segmentation_trainer.py:279-280).

@@ -325,3 +325,81 @@ class TestAutoAugReentry:
         out = capsys.readouterr().out
         assert "reinitializing optimizer state" not in out
         assert context.trainer.iteration == 4
+
+
+class TestSignalAndGuardFixes:
+    """Round-5 trainer-review fixes: EXIT event reset on entry, signal
+    handlers restored on exit, spatial_axis+device_augmentation refusal,
+    empty cohorts still produce their log key."""
+
+    def test_stale_exit_event_does_not_poison_next_run(self, tmp_path):
+        import signal as _signal
+
+        from segmentation_pipeline_tpu.training import trainer as tr
+
+        root, logs = tmp_path / "ds", tmp_path / "logs"
+        build_dataset(root)
+        context = build_context(root, logs)
+        context.init_components()
+        prev = _signal.getsignal(_signal.SIGINT)
+        tr.EXIT.set()  # a previous signal-stopped run left the event set
+        logger = FileLogger(str(logs))
+        context.trainer.train(context, max_iterations=3, logger=logger)
+        assert context.trainer.iteration == 3, \
+            "stale EXIT event stopped the run after one iteration"
+        # the clean-exit handler was uninstalled on the way out
+        assert _signal.getsignal(_signal.SIGINT) is prev
+
+    def test_spatial_axis_with_device_augmentation_refused(self, tmp_path):
+        from segmentation_pipeline_tpu.parallel.mesh import make_mesh
+
+        root, logs = tmp_path / "ds", tmp_path / "logs"
+        build_dataset(root)
+        context = build_context(root, logs)
+        mesh = make_mesh(n_devices=2, axis_names=("spatial",), shape=(2,))
+        context.update_component("trainer", mesh=mesh,
+                                 spatial_axis="spatial",
+                                 device_augmentation={})
+        context.init_components()
+        with pytest.raises(ValueError, match="spatial_axis"):
+            context.trainer.train(context, max_iterations=1,
+                                  logger=FileLogger(str(logs)))
+
+    def test_empty_cohort_still_emits_log_key(self, tmp_path):
+        """A scheduled cohort matching ZERO validation subjects must still
+        produce log_dict[log_name][cohort] (reference semantics, ref
+        segmentation_trainer.py:229-233) so scoring functions can index
+        it."""
+        root, logs = tmp_path / "ds", tmp_path / "logs"
+        build_dataset(root)
+        context = build_context(root, logs)
+        defn = context.get_component_definition("dataset")
+        defn["params"]["cohorts"]["nobody"] = sp.RequireAttributes(
+            {"fold": 99})
+        context.update_component(
+            "trainer",
+            validation_evaluators=[sp.ScheduledEvaluation(
+                evaluator=sp.SegmentationEvaluator("y_pred_eval", "y_eval"),
+                log_name="seg", cohorts=["nobody"], interval=2)],
+            scoring_interval=10 ** 6, scoring_function=None)
+        context.init_components()
+
+        class Cap:
+            records = []
+
+            def setup(self, c):
+                pass
+
+            def save_context(self, *a):
+                pass
+
+            def log(self, d):
+                Cap.records.append(d)
+
+        Cap.records = []
+        context.trainer.train(context, max_iterations=3, logger=Cap())
+        swept = [r for r in Cap.records if "seg" in r]
+        assert swept, "no sweep record"
+        for r in swept:
+            assert "nobody" in r["seg"]
+            assert len(r["seg"]["nobody"]["subject_stats"]) == 0
