@@ -97,10 +97,12 @@ class _LazyBatch(dict):
         return dict.__contains__(self, key) or key in self._lazy
 
     def get(self, key, default=None):
-        try:
-            return self[key]
-        except KeyError:
+        # only an ABSENT key returns the default — a KeyError raised while
+        # MATERIALIZING a present key (a subject missing the image) is a
+        # data problem that must propagate, not masquerade as absence
+        if key not in self:
             return default
+        return self[key]
 
     def _all_keys(self):
         out = list(dict.keys(self))
@@ -142,6 +144,17 @@ def ids_to_onehot(ids: np.ndarray, n_channels: int, channel_axis: int = 0
     return np.moveaxis(np.eye(n_channels, dtype=np.float32)[ids], -1, channel_axis)
 
 
+def _fetch_ids_host(ids_dev, n_channels: int) -> np.ndarray:
+    """Fetch device argmax ids to host — bit-packed (ceil(log2 C) bits per
+    voxel, ops/bitpack.py) when C fits uint8, plain transfer otherwise.
+    The single fetch-policy choke point for every device_argmax path."""
+    if n_channels <= 255:
+        from .ops.bitpack import fetch_ids
+
+        return fetch_ids(ids_dev, n_channels)
+    return np.asarray(ids_dev)
+
+
 def _attach_prediction(subject: Subject, y_pred: np.ndarray, label_attributes):
     image = LabelMap(tensor=y_pred, **copy.deepcopy(label_attributes or {}))
     if "X" in subject:
@@ -155,9 +168,12 @@ class StandardPredict(Predictor):
     """Whole-image batched prediction (ref prediction.py:57-102)."""
 
     # class-level fallbacks so checkpoints pickled before these attributes
-    # existed still resume (pickle restores __dict__ without __init__)
+    # existed still resume (pickle restores __dict__ without __init__) —
+    # every post-release attribute needs one
     _confusion_plan = None
     cache_inputs = None
+    device_argmax = False
+    refine_image = None
 
     def __init__(self, image_names: Sequence[str] = ("X",), sagittal_split: bool = False,
                  refine_image: str = None, device_argmax: bool = False,
@@ -217,15 +233,8 @@ class StandardPredict(Predictor):
                     # validated reduction-only sweep: only counts crossed
                     # the link; no predictions are attached
                     return list(subjects), batch
-            if n_ch <= 255:
-                from .ops.bitpack import fetch_ids
-
-                # bit-packed fetch: ceil(log2(C)) bits/voxel crosses the
-                # link instead of a uint8 byte (8x binary) — bit-identical
-                ids = fetch_ids(ids_dev, n_ch)
-            else:
-                ids = np.asarray(ids_dev)
-            y_np = ids_to_onehot(ids, n_ch, channel_axis=1)
+            y_np = ids_to_onehot(_fetch_ids_host(ids_dev, n_ch), n_ch,
+                                 channel_axis=1)
         else:
             # C == 1: the single channel IS the mask/probability — argmax
             # would collapse it to all-zero ids; fall back to the full fetch
@@ -311,9 +320,16 @@ class PatchPredict(Predictor):
         if isinstance(state.get("mesh"), MeshRecipe):
             state["mesh"] = state["mesh"].build()
         # attributes newer than the pickled checkpoint (predictors ride
-        # inside every checkpoint; keep old checkpoints loadable)
+        # inside every checkpoint; keep old checkpoints loadable) — cover
+        # EVERY attribute added since the first release, not just the most
+        # recent ones (a round-1-era pickle lacks device_argmax/shape_bucket/
+        # mesh/volume_sharded too)
         state.setdefault("device_postprocess", None)
         state.setdefault("cache_inputs", None)
+        state.setdefault("device_argmax", False)
+        state.setdefault("shape_bucket", 0)
+        state.setdefault("mesh", None)
+        state.setdefault("volume_sharded", False)
         self.__dict__.update(state)
 
     # static model_fns cached per flax module so repeated predict() calls hit
@@ -513,13 +529,7 @@ class PatchPredict(Predictor):
                         preds.append(None)
                         return
             if use_argmax:
-                if n_ch <= 255:
-                    from .ops.bitpack import fetch_ids
-
-                    # (W, H, D) ids at ceil(log2(C)) bits/voxel on the link
-                    ids = fetch_ids(y_pred, n_ch)
-                else:
-                    ids = np.asarray(y_pred)
+                ids = _fetch_ids_host(y_pred, n_ch)
                 if padded:
                     ids = ids[:spatial[0], :spatial[1], :spatial[2]]
                 y_np = ids_to_onehot(ids, n_ch)
@@ -622,9 +632,15 @@ class PatchPredict(Predictor):
                     output_labels=use_argmax,
                     transfer_dtype=transfer_dtype)
 
-            if volume.shape in shapes_run:
-                y_pred = run(getattr(self, "_effective_patch_batch",
-                                     self.patch_batch_size))
+            # the pipelined fast path is only safe for a (shape, batch)
+            # program that ALREADY compiled under the degrade guard — keying
+            # on shape alone would dispatch a never-compiled program
+            # unguarded after another shape's OOM lowered
+            # _effective_patch_batch
+            bs_now = getattr(self, "_effective_patch_batch",
+                             self.patch_batch_size)
+            if (volume.shape, bs_now) in shapes_run:
+                y_pred = run(bs_now)
                 if pending is not None:
                     finalize(pending)
                 pending = (subject, spatial, padded, y_pred)
@@ -633,7 +649,11 @@ class PatchPredict(Predictor):
                     finalize(pending)
                     pending = None
                 y_pred = run_with_batch_degrade(run)
-                shapes_run.add(volume.shape)
+                # record the batch size that actually succeeded (the guard
+                # may have halved it during this run)
+                shapes_run.add((volume.shape,
+                                getattr(self, "_effective_patch_batch",
+                                        self.patch_batch_size)))
                 finalize((subject, spatial, padded, y_pred))
         if pending is not None:
             finalize(pending)
@@ -646,13 +666,8 @@ class PatchPredict(Predictor):
             for slot, subject, ids_dev in deferred:
                 if id(subject) in delivered:
                     continue
-                if n_ch <= 255:
-                    from .ops.bitpack import fetch_ids
-
-                    ids = fetch_ids(ids_dev, n_ch)
-                else:
-                    ids = np.asarray(ids_dev)
-                y_np = ids_to_onehot(ids, n_ch)
+                y_np = ids_to_onehot(_fetch_ids_host(ids_dev, n_ch),
+                                     n_ch)
                 preds[slot] = y_np
                 _attach_prediction(subject, y_np, label_attributes)
 
@@ -666,8 +681,18 @@ class PatchPredict(Predictor):
         # None and only the per-subject device counts exist.
         batch = _LazyBatch(subjects, self.image_names,
                            cache=bool(self.cache_inputs))
-        batch["y_pred"] = (np.stack(preds)
-                           if not any(p is None for p in preds) else None)
+        if not preds or any(p is None for p in preds):
+            # empty call, or a validated confusion-only sweep: no volumes
+            batch["y_pred"] = None
+        elif len({p.shape for p in preds}) == 1:
+            batch["y_pred"] = np.stack(preds)
+        else:
+            # ragged cohort (exactly what shape_bucket supports): there is
+            # no rectangular stack — return the per-subject arrays instead
+            # of crashing AFTER all inference work succeeded.  The primary
+            # consumer (the trainer sweep) discards the batch; anyone else
+            # gets a list with the same ordering.
+            batch["y_pred"] = list(preds)
         return out_subjects, batch
 
 

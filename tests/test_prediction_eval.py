@@ -396,3 +396,78 @@ class TestPatchPredictSegModelPath:
         fn_a = PatchPredict._fn_for_module(module)
         fn_b = PatchPredict._fn_for_module(module)
         assert fn_a is fn_b
+
+
+import segmentation_pipeline_tpu as sp
+
+
+class TestPredictionReviewFixes:
+    """Round-5 prediction.py review fixes."""
+
+    def test_round1_era_checkpoint_state_resumes(self):
+        """Predictors unpickled from states missing EVERY post-release
+        attribute must still predict (predictors ride inside every
+        checkpoint)."""
+        state = {"image_names": ["X"], "sagittal_split": False}
+        old = sp.StandardPredict.__new__(sp.StandardPredict)
+        old.__dict__.update(state)  # simulates a round-1 pickle payload
+        assert old.device_argmax is False
+        assert old.refine_image is None
+        assert old.cache_inputs is None
+        assert old._confusion_plan is None
+
+        pp = sp.PatchPredict.__new__(sp.PatchPredict)
+        pp.__setstate__({"image_names": ["X"], "patch_batch_size": 2,
+                         "patch_size": 8, "patch_overlap": 4,
+                         "padding_mode": 0, "overlap_mode": "average"})
+        assert pp.device_argmax is False
+        assert pp.shape_bucket == 0
+        assert pp.mesh is None
+        assert pp.volume_sharded is False
+        assert pp.device_postprocess is None
+
+    def test_ragged_cohort_returns_list_y_pred(self):
+        """Subjects with different spatial shapes in ONE PatchPredict call:
+        per-subject predictions attach normally and batch['y_pred'] is a
+        list (no rectangular stack exists) instead of a crash."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        subjects = []
+        for i, shape in enumerate([(16, 16, 8), (12, 20, 8)]):
+            s = Subject(name=f"r{i}")
+            s["X"] = ScalarImage(
+                tensor=rng.normal(size=(1, *shape)).astype(np.float32),
+                affine=np.eye(4))
+            subjects.append(s)
+
+        pred = sp.PatchPredict(image_names=["X"], patch_size=8,
+                               patch_overlap=4, patch_batch_size=2)
+
+        from segmentation_pipeline_tpu.training.model import SegModel
+        import flax.linen as nn
+
+        class Twice(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                return jnp.concatenate([x, -x], axis=-1)
+
+        model = SegModel(Twice())
+        model.ensure_initialized(np.zeros((1, 1, 8, 8, 8), np.float32))
+        out_subjects, batch = pred.predict(model, subjects)
+        assert isinstance(batch["y_pred"], list)
+        assert len(batch["y_pred"]) == 2
+        shapes = [p.shape for p in batch["y_pred"]]
+        assert shapes == [(2, 16, 16, 8), (2, 12, 20, 8)]
+        for subj in out_subjects:
+            assert "y_pred" in subj
+
+    def test_lazybatch_get_propagates_materialize_errors(self):
+        from segmentation_pipeline_tpu.prediction import _LazyBatch
+
+        s = Subject(name="incomplete")  # has NO image 'X'
+        batch = _LazyBatch([s], ["X"], cache=False)
+        assert "X" in batch
+        with pytest.raises(KeyError):
+            batch.get("X")  # present key failing to materialize must raise
+        assert batch.get("nope", 42) == 42  # absent key -> default
