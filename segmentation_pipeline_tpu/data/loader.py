@@ -363,7 +363,7 @@ class WeightedSampler(PatchSampler):
                 f"Patch size {tuple(self.patch_size)} exceeds subject shape {tuple(spatial)}")
         # zero out probabilities whose patch would not fit (center-based;
         # for even patch sizes the torchio convention: start = center - size//2,
-        # valid centers in [size//2, spatial - (size - size//2))
+        # valid centers in [size//2, spatial - (size - size//2)] inclusive
         lo = self.patch_size // 2
         hi = spatial - (self.patch_size - self.patch_size // 2)
         masked = np.zeros_like(prob)
